@@ -1,0 +1,94 @@
+"""Connected components over dup pairs → cluster assignments.
+
+The reference's clustering is a commented-out greedy star pass
+(dna_benchmark.h:361-417, single-threaded, insertion-order dependent).
+The distributed replacement is union-find connected components via
+iterative minimum-label propagation on DataFrames: each vertex repeatedly
+adopts the smallest label in its closed neighborhood until fixpoint.
+Deterministic (labels are min ids, independent of partitioning), and every
+iteration is one shuffle on the edge key; ``localCheckpoint`` truncates the
+growing lineage so plans stay bounded at scale.
+
+Note CC ⊇ greedy-star clusters; recall per BASELINE is measured on
+dup-PAIR sets, which are identical (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(id, cluster_id) for every vertex appearing in ``edges``.
+
+    cluster_id = min vertex id of the component (ids: any orderable type).
+    Converges in O(log n) rounds for typical dup clusters (small diameter);
+    ``max_iter`` bounds pathological chains.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        # every vertex receives its neighbors' current labels
+        msgs = (
+            sym.join(labels, sym.v == labels.id)
+            .select(F.col("u").alias("id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
+def assign_clusters(
+    all_ids: DataFrame,
+    dup_edges: DataFrame,
+    id_col: str = "image_id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Full-corpus (id, cluster_id): component label for connected rows,
+    own id for singletons (left join keeps unmatched rows broadcast-free)."""
+    comps = connected_components(dup_edges, src=src, dst=dst, max_iter=max_iter)
+    return (
+        all_ids.select(F.col(id_col))
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+
+
+def cluster_sizes(clusters: DataFrame, id_col: str = "image_id") -> DataFrame:
+    return clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))

@@ -1,0 +1,204 @@
+"""Vectorized 64-bit hashing + MinHash permutation math (numpy core).
+
+This is the numpy re-expression of the reference's per-element signature
+update (minhash.h:135-169): for a universal-hash family
+``row = ((A*h + B) mod 2^64) mod p`` with ``p = 2^61-1`` (hash.h:25-27), the
+signature is the element-wise minimum over a document's shingle hashes.
+The reference updates 128 Eigen lanes per element (minhash.h:96-99,141-146);
+we transpose that: one numpy pass per permutation *block* over ALL elements
+of an Arrow batch, reduced per-document with ``np.minimum.reduceat``.
+
+Everything here is pure numpy on uint64 — uint64 wraps mod 2^64 exactly like
+the reference's Eigen uint64 arrays (pinned by tests/test_hashing.py), and
+no value ever escapes to a Python int inside the hot loop.
+
+The element hash is FNV-1a 64 over the k-byte window (the reference uses
+xxHash64 seed 0, hash.h:14-21; the exact hash family is part of the run
+config — any well-mixed 64-bit hash yields the same MinHash estimator
+guarantees, and recall is measured at identical config).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lshdedup.config import MERSENNE_61
+
+U64 = np.uint64
+_FNV_OFFSET = U64(0xCBF29CE484222325)
+_FNV_PRIME = U64(0x100000001B3)
+_P61 = U64(MERSENNE_61)
+
+# splitmix64 constants (Steele et al., public domain; used for int64 keys)
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — our 64-bit integer hash.
+
+    Plays the role of the reference's ``xx_Hash<uint64_t>`` single-value
+    overload (hash.h:186-190).
+    """
+    z = x.astype(U64, copy=True) + _SM_GAMMA
+    z = (z ^ (z >> U64(30))) * _SM_M1
+    z = (z ^ (z >> U64(27))) * _SM_M2
+    return z ^ (z >> U64(31))
+
+
+def fnv1a_windows(windows: np.ndarray, seed: int = 0) -> np.ndarray:
+    """FNV-1a 64 over each row of a (n, k) uint8 matrix → (n,) uint64.
+
+    The vectorized stand-in for hashing every k-shingle string_view
+    (hash.h:14-21 + element_wise_hash hash.h:89-141): k is tiny, so the
+    loop is over k with every iteration vectorized across all n windows.
+    """
+    h = np.full(windows.shape[0], _FNV_OFFSET ^ U64(seed), dtype=U64)
+    for j in range(windows.shape[1]):
+        h = (h ^ windows[:, j].astype(U64)) * _FNV_PRIME
+    return h
+
+
+def fnv1a_bytes(data: bytes, seed: int = 0) -> int:
+    """Scalar FNV-1a 64 of arbitrary-length bytes (short-string fallback:
+    strings shorter than k become one whole-string shingle,
+    k_shingles.h:74-77)."""
+    h = int(_FNV_OFFSET) ^ seed
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def generate_permutations(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A, B) universal-hash parameter vectors.
+
+    Mirrors RandomHashPermutation (minhash.h:25-67): ``a ~ U[1, p-1]``,
+    ``b ~ U[0, p-1]``, ``p = 2^61-1``.  The reference draws from
+    std::mt19937_64 + an implementation-defined uniform_int_distribution;
+    the drawn table is part of the run config (SURVEY §7.4), so we pin a
+    well-specified generator (PCG64) instead of chasing libstdc++
+    bit-compatibility.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, MERSENNE_61, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_61, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_segments(
+    hashes: np.ndarray,
+    bounds: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    block: int = 16,
+) -> np.ndarray:
+    """MinHash signatures for variable-length segments of a flat hash array.
+
+    hashes : (n_items,) uint64 — element hashes for ALL rows of a batch,
+             concatenated (row i owns hashes[bounds[i,0]:bounds[i,1]]).
+    bounds : (n_rows, 2) int64 start/end, end > start for every row.
+    a, b   : (n_perm,) uint64 permutation params.
+    returns: (n_rows, n_perm) uint64 signatures.
+
+    Semantics: signature[i, j] = min over row i's elements of
+    ``((a[j]*h + b[j]) mod 2^64) mod (2^61-1)`` — exactly
+    MinHash::update over a set (minhash.h:153-169, init-to-max :113).
+    Duplicate elements cannot change a min, so weighted shingle multisets
+    (k_shingles.h:82) need no dedup here.
+    """
+    n_rows = bounds.shape[0]
+    n_perm = a.shape[0]
+    # sentinel so every reduceat end index stays < len
+    h = np.concatenate([hashes.astype(U64, copy=False), np.array([U64(0)], dtype=U64)])
+    idx = bounds.astype(np.int64, copy=False).reshape(-1)
+    out = np.empty((n_rows, n_perm), dtype=U64)
+    for s in range(0, n_perm, block):
+        ab = a[s : s + block][:, None]
+        bb = b[s : s + block][:, None]
+        v = (ab * h[None, :] + bb) % _P61  # uint64 wrap mod 2^64, then mod p
+        red = np.minimum.reduceat(v, idx, axis=1)
+        out[:, s : s + block] = red[:, ::2].T
+    return out
+
+
+def minhash_fixed(
+    hashes: np.ndarray, a: np.ndarray, b: np.ndarray, block: int = 16
+) -> np.ndarray:
+    """MinHash over a fixed-width (n_rows, m) hash matrix (e.g. the 16
+    pHash windows per image).  Same math as minhash_segments."""
+    n_rows, _ = hashes.shape
+    n_perm = a.shape[0]
+    out = np.empty((n_rows, n_perm), dtype=U64)
+    h = hashes.astype(U64, copy=False)
+    for s in range(0, n_perm, block):
+        ab = a[s : s + block][None, None, :]
+        bb = b[s : s + block][None, None, :]
+        v = (h[:, :, None] * ab + bb) % _P61
+        out[:, s : s + block] = v.min(axis=1)
+    return out
+
+
+def char_shingle_hashes(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte sliding-window hashes for a batch of byte strings.
+
+    Re-expresses split_k_shingling_fast (k_shingles.h:67-85) without
+    materializing shingle strings: texts shorter than k contribute ONE
+    whole-string shingle (k_shingles.h:74-77; they are zero-padded to k so
+    the window machinery still sees exactly one gram — padding only ever
+    applies to <k strings, so no collision with genuine k-grams is
+    possible for same-length content).
+
+    Returns (flat_hashes uint64, bounds int64 (n_rows, 2)).
+    """
+    n = len(texts)
+    padded = [t if len(t) >= k else t + b"\x00" * (k - len(t)) for t in texts]
+    lens = np.fromiter((len(t) for t in padded), count=n, dtype=np.int64)
+    buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    if buf.size == 0:
+        return np.empty(0, dtype=U64), np.zeros((0, 2), dtype=np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k) if buf.size >= k else buf[None, :]
+    flat = fnv1a_windows(windows)
+    starts = offs[:-1]
+    ends = offs[:-1] + (lens - k + 1)  # grams fully inside the row
+    return flat, np.stack([starts, ends], axis=1)
+
+
+def phash_window_hashes(
+    phash: np.ndarray, window_bits: int = 16, step: int = 4
+) -> np.ndarray:
+    """pHash-derived image shingles (graft-specific, NOT in reference).
+
+    Slides a ``window_bits``-wide window over the 64-bit perceptual hash in
+    ``step``-bit increments; each shingle is hash(position ‖ window value),
+    so images whose pHashes differ in few bits share most shingles — the
+    image analogue of the 2-bit-packed DNA shingles (k_shingles.h:106-146).
+
+    phash : (n,) int64 → returns (n, n_windows) uint64.
+    """
+    p = phash.astype(np.int64, copy=False).view(U64)
+    positions = list(range(0, 64 - window_bits + 1, step))
+    mask = U64((1 << window_bits) - 1)
+    cols = []
+    for i, pos in enumerate(positions):
+        win = (p >> U64(pos)) & mask
+        # tag with window position (high bits) + an image-namespace constant
+        # so phash shingles can never collide with caption shingles
+        cols.append(splitmix64(win ^ (U64(i + 1) << U64(48)) ^ U64(0x9E1)))
+    return np.stack(cols, axis=1)
+
+
+def minhash_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Estimated Jaccard = fraction of equal lanes (minhash.h:188-207)."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard_hashed(h_a: np.ndarray, h_b: np.ndarray) -> float:
+    """Exact Jaccard of two hashed-shingle sets (minhash.h:210-215)."""
+    a = np.unique(h_a)
+    b = np.unique(h_b)
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return float(inter) / union if union else 1.0

@@ -1,0 +1,152 @@
+"""MinHash signature stage — fused shingle→hash→signature pandas UDFs.
+
+The reference signs one document at a time: 128 Eigen lanes folded over the
+document's shingle hashes (minhash.h:135-169), with an LRU cache memoizing
+per-shingle lane rows (minhash.h:102-104, lru_cache.h).  The Spark-first
+shape is the transpose: an Arrow batch of documents → one flat uint64 gram
+array → permutation-block numpy passes with per-document segment minima
+(hashing.minhash_segments).  No shuffle: caption → signature is a narrow map.
+
+The LRU cache is deliberately NOT ported — it is a single-machine perf trick
+(SURVEY §4.4); duplicate grams cannot change a minimum, so corpus-level
+dedup is unnecessary for correctness and the batch math already amortizes.
+
+pHash image shingles merge by element-wise min of two signatures:
+min over (A ∪ B) == elementwise-min(min over A, min over B).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from lshdedup.config import DedupConfig
+from lshdedup.hashing import (
+    char_shingle_hashes,
+    generate_permutations,
+    minhash_fixed,
+    minhash_segments,
+    phash_window_hashes,
+    splitmix64,
+)
+
+
+@lru_cache(maxsize=8)
+def _perms(n_perm: int, seed: int):
+    return generate_permutations(n_perm, seed)
+
+
+def _sig_to_series(sig: np.ndarray) -> pd.Series:
+    # uint64 mod 2^61-1 always fits in signed int64
+    signed = sig.astype(np.int64)
+    return pd.Series(list(signed))
+
+
+def caption_signature_udf(cfg: DedupConfig):
+    """pandas UDF: caption string → array<long> MinHash signature.
+
+    Fuses split_k_shingling_fast (k_shingles.h:67-85) + element hashing
+    (hash.h:89-141) + MinHash::update (minhash.h:153-169) into one
+    vectorized pass per Arrow batch.
+    """
+    k, n_perm, seed = cfg.k, cfg.n_perm, cfg.seed
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a, b = _perms(n_perm, seed)
+        for batch in texts:
+            raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
+            flat, bounds = char_shingle_hashes(raw, k)
+            out = minhash_segments(flat, bounds, a, b)
+            yield _sig_to_series(out)
+
+    return sig
+
+
+def token_hash_signature_udf(cfg: DedupConfig):
+    """pandas UDF: array<long> element hashes → array<long> signature.
+
+    The word-set path (test.h fixtures) and any pre-hashed shingle source:
+    tokens are hashed JVM-side (xxhash64) then signed here.  splitmix64 is
+    applied on top so the JVM hash's seed choice can't correlate with the
+    permutation family.
+    """
+    n_perm, seed = cfg.n_perm, cfg.seed
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hash_arrays: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a, b = _perms(n_perm, seed)
+        for batch in hash_arrays:
+            lens = np.fromiter((len(v) for v in batch), count=len(batch), dtype=np.int64)
+            lens = np.maximum(lens, 1)
+            offs = np.zeros(len(batch) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            flat = np.zeros(int(offs[-1]), dtype=np.uint64)
+            for i, v in enumerate(batch):
+                arr = np.asarray(v, dtype=np.int64).view(np.uint64)
+                if arr.size:
+                    flat[offs[i] : offs[i] + arr.size] = splitmix64(arr)
+            bounds = np.stack([offs[:-1], offs[1:]], axis=1)
+            out = minhash_segments(flat, bounds, a, b)
+            yield _sig_to_series(out)
+
+    return sig
+
+
+def phash_signature_udf(cfg: DedupConfig):
+    """pandas UDF: int64 pHash → array<long> signature over its
+    bit-window shingles (graft image path; window scheme in
+    hashing.phash_window_hashes)."""
+    n_perm, seed = cfg.n_perm, cfg.seed
+    wbits, step = cfg.phash_window_bits, cfg.phash_window_step
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(phashes: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a, b = _perms(n_perm, seed)
+        for batch in phashes:
+            ph = batch.fillna(0).to_numpy(dtype=np.int64)
+            wins = phash_window_hashes(ph, wbits, step)
+            out = minhash_fixed(wins, a, b)
+            yield _sig_to_series(out)
+
+    return sig
+
+
+def merge_signatures_expr(sig_a: Column, sig_b: Column) -> Column:
+    """Element-wise min of two signatures == signature of the shingle-set
+    union.  Native zip_with — stays in codegen."""
+    return F.zip_with(sig_a, sig_b, lambda x, y: F.least(x, y))
+
+
+def minhash_similarity_expr(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of equal lanes (minhash.h:188-207),
+    as a native expression (no UDF on the verify hot path)."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / F.size(sig_a)
+
+
+def add_signatures(
+    df: DataFrame,
+    cfg: DedupConfig,
+    text_col: str = "caption",
+    phash_col: str = "phash",
+    out_col: str = "sig",
+) -> DataFrame:
+    """Attach the combined MinHash signature column.
+
+    caption-only, phash-only, or blended (elementwise min) per config.
+    Narrow transformation — no shuffle is introduced here.
+    """
+    cap_sig = caption_signature_udf(cfg)(F.col(text_col))
+    if cfg.use_phash and phash_col in df.columns:
+        ph_sig = phash_signature_udf(cfg)(F.col(phash_col))
+        combined = merge_signatures_expr(cap_sig, ph_sig)
+    else:
+        combined = cap_sig
+    return df.withColumn(out_col, combined)

@@ -1,0 +1,64 @@
+"""SimHash fingerprints — the near-exact caption path (graft addition).
+
+NOT in the reference (its only fingerprint is MinHash); required by the
+north rule as an additional precision stage for near-exact caption overlap.
+Charikar SimHash: each k-gram's 64-bit hash votes ±1 per bit, weighted by
+occurrence count; the fingerprint is the sign vector packed into int64.
+Near-exact duplicates differ in a handful of bits → verify with
+``bit_count(a XOR b) <= max_hamming`` (native expr, no UDF).
+
+Fully vectorized: one flat gram-hash array per Arrow batch, per-bit ±1
+matrix, per-row np.add.reduceat — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from lshdedup.config import DedupConfig
+from lshdedup.hashing import char_shingle_hashes
+
+
+def simhash_batch(texts: list[bytes], k: int) -> np.ndarray:
+    """(n,) int64 SimHash fingerprints for a batch of byte strings."""
+    n = len(texts)
+    flat, bounds = char_shingle_hashes(texts, k)
+    if flat.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    # (n_grams, 64) ±1 votes; int8 keeps it at n_grams*64 bytes
+    bits = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) << 1) - 1
+    idx = bounds.reshape(-1)
+    # guard: reduceat indices must be < len; bounds ends are <= n_grams
+    sentinel = np.zeros((1, 64), dtype=np.int8)
+    padded = np.concatenate([bits, sentinel], axis=0)
+    sums = np.add.reduceat(padded.astype(np.int32), idx, axis=0)[::2]
+    sign = (sums > 0).astype(np.uint64)
+    packed = np.zeros(n, dtype=np.uint64)
+    for j in range(64):
+        packed |= sign[:, j] << np.uint64(j)
+    return packed.view(np.int64)
+
+
+def simhash_udf(cfg: DedupConfig):
+    """pandas UDF: caption string → int64 SimHash."""
+    k = cfg.k
+
+    @F.pandas_udf(LongType())
+    def sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
+            yield pd.Series(simhash_batch(raw, k))
+
+    return sh
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    """popcount(a XOR b) — native bit_count, stays in codegen."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,184 @@
+"""Candidate-pair verification — the reference's "lsh + 过滤" filter stage
+(dna_benchmark.h:197-225, filter :209-214) plus the graft's extra precision
+paths (exact Jaccard, SimHash hamming, suffix-automaton LCS substring).
+
+Everything cheap is a native column expression (minhash similarity, exact
+Jaccard over shingle arrays, simhash hamming, phash hamming) so the verify
+join output never leaves the JVM; only the optional LCS path (inherently
+per-pair sequential) is a pandas UDF, and it runs last, on the
+already-threshold-filtered remnant.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from lshdedup.config import DedupConfig
+from lshdedup.minhash import minhash_similarity_expr
+from lshdedup.shingle import distinct_char_shingles_expr, exact_jaccard_expr
+from lshdedup.simhash import hamming_expr
+
+
+def enrich_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Attach per-side attribute columns to (id_a, id_b) pairs.
+
+    Two hash equi-joins against the (much smaller) doc-attribute table;
+    AQE broadcasts when the doc side fits.
+    """
+    left = docs.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    right = docs.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    return pairs.join(left, "id_a").join(right, "id_b")
+
+
+def longest_common_substring_ratio(a: str, b: str) -> float:
+    """len(LCS-substring) / min(len) via a suffix automaton of ``a`` —
+    O(|a|+|b|).  The "suffix-array substring path" of the north rule
+    (NOT in the reference)."""
+    if not a or not b:
+        return 0.0
+    if len(a) > len(b):
+        a, b = b, a
+    # suffix automaton over a
+    link = [-1]
+    length = [0]
+    trans: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in a:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # walk b
+    v, cur_len, best = 0, 0, 0
+    for ch in b:
+        while v and ch not in trans[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+    return best / min(len(a), len(b))
+
+
+def lcs_ratio_udf():
+    @F.pandas_udf(DoubleType())
+    def lcs(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(
+                [
+                    longest_common_substring_ratio(x or "", y or "")
+                    for x, y in zip(a, b)
+                ]
+            )
+
+    return lcs
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    phash_col: str | None = "phash",
+    sig_col: str = "sig",
+    simhash_col: str | None = None,
+) -> DataFrame:
+    """Score candidate pairs and decide ``is_dup``.
+
+    Emitted columns: id_a, id_b, mh_sim, jaccard, (phash_hamming),
+    (simhash_hamming), (lcs_ratio), is_dup.
+
+    Decision (cfg.verify_mode):
+      minhash        — mh_sim >= threshold (the reference's own filter,
+                       dna_benchmark.h:209-214)
+      exact          — exact caption Jaccard >= threshold, OR image
+                       near-dup (phash hamming <= simhash_max_hamming), OR
+                       near-exact caption (simhash hamming) when enabled
+      exact+simhash  — as exact, with the simhash channel forced on
+    """
+    use_phash = phash_col is not None and cfg.use_phash and phash_col in docs.columns
+    want_simhash = (
+        cfg.verify_mode == "exact+simhash" and simhash_col is not None
+    )
+    cols = [text_col, sig_col]
+    if use_phash:
+        cols.append(phash_col)
+    if want_simhash:
+        cols.append(simhash_col)
+    rich = enrich_pairs(pairs, docs, id_col, cols)
+
+    mh = minhash_similarity_expr(F.col(f"{sig_col}_a"), F.col(f"{sig_col}_b"))
+    jac = exact_jaccard_expr(
+        distinct_char_shingles_expr(F.col(f"{text_col}_a"), cfg.k),
+        distinct_char_shingles_expr(F.col(f"{text_col}_b"), cfg.k),
+    )
+    out = rich.withColumn("mh_sim", mh)
+    if cfg.verify_mode == "minhash":
+        out = out.withColumn("is_dup", F.col("mh_sim") >= cfg.threshold)
+        keep = ["id_a", "id_b", "mh_sim", "is_dup"]
+        return out.select(*keep)
+
+    out = out.withColumn("jaccard", jac)
+    dup: Column = F.col("jaccard") >= cfg.threshold
+    keep = ["id_a", "id_b", "mh_sim", "jaccard"]
+    if use_phash:
+        out = out.withColumn(
+            "phash_hamming",
+            hamming_expr(F.col(f"{phash_col}_a"), F.col(f"{phash_col}_b")),
+        )
+        dup = dup | (F.col("phash_hamming") <= cfg.simhash_max_hamming)
+        keep.append("phash_hamming")
+    if want_simhash:
+        out = out.withColumn(
+            "simhash_hamming",
+            hamming_expr(F.col(f"{simhash_col}_a"), F.col(f"{simhash_col}_b")),
+        )
+        dup = dup | (F.col("simhash_hamming") <= cfg.simhash_max_hamming)
+        keep.append("simhash_hamming")
+    if cfg.lcs_min_ratio > 0:
+        out = out.withColumn(
+            "lcs_ratio", lcs_ratio_udf()(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
+        )
+        dup = dup | (F.col("lcs_ratio") >= cfg.lcs_min_ratio)
+        keep.append("lcs_ratio")
+    out = out.withColumn("is_dup", dup)
+    keep.append("is_dup")
+    return out.select(*keep)
