@@ -1,0 +1,117 @@
+"""Numpy-core semantics pins (SURVEY §5.2 item 1, §7.4 risks)."""
+
+import numpy as np
+import pytest
+
+from lshdedup.hashing import (
+    char_shingle_hashes,
+    exact_jaccard_hashed,
+    fnv1a_bytes,
+    fnv1a_windows,
+    generate_permutations,
+    minhash_fixed,
+    minhash_segments,
+    phash_window_hashes,
+    splitmix64,
+)
+
+
+def test_uint64_wrap_semantics():
+    """numpy uint64 must wrap mod 2^64 like C++/Eigen uint64
+    (minhash.h:143-144 comment; SURVEY §7.4)."""
+    a = np.array([2**63, 2**64 - 1], dtype=np.uint64)
+    assert ((a * np.uint64(2)) == np.array([0, 2**64 - 2], dtype=np.uint64)).all()
+    assert ((a + a)[0]) == 0
+
+
+def test_fnv_matches_scalar():
+    data = b"abcdefgh"
+    w = np.frombuffer(data, dtype=np.uint8)[None, :]
+    assert fnv1a_windows(w)[0] == fnv1a_bytes(data)
+
+
+def test_char_shingle_hashes_window_count():
+    flat, bounds = char_shingle_hashes([b"abcdef", b"xyz"], 3)
+    # "abcdef" -> 4 grams; "xyz" -> 1 gram
+    assert (bounds[0, 1] - bounds[0, 0]) == 4
+    assert (bounds[1, 1] - bounds[1, 0]) == 1
+    # grams: hash("abc") must equal a directly computed window hash
+    assert flat[bounds[0, 0]] == fnv1a_bytes(b"abc")
+
+
+def test_short_string_single_shingle():
+    """len < k → whole string as one (padded) shingle (k_shingles.h:74-77)."""
+    flat, bounds = char_shingle_hashes([b"ab"], 4)
+    assert bounds[0, 1] - bounds[0, 0] == 1
+    # stable and distinct from a different short string
+    flat2, _ = char_shingle_hashes([b"ac"], 4)
+    assert flat[0] != flat2[0]
+    flat3, _ = char_shingle_hashes([b"ab"], 4)
+    assert flat[0] == flat3[0]
+
+
+def test_minhash_set_semantics():
+    """Duplicate elements never change the signature (weighted multiset →
+    set semantics of unweighted MinHash, minhash.h:153-169)."""
+    a, b = generate_permutations(64, 1)
+    h = np.array([5, 7, 9], dtype=np.uint64)
+    hdup = np.array([5, 5, 7, 9, 9, 9], dtype=np.uint64)
+    s1 = minhash_segments(h, np.array([[0, 3]]), a, b)
+    s2 = minhash_segments(hdup, np.array([[0, 6]]), a, b)
+    assert (s1 == s2).all()
+
+
+def test_minhash_below_mersenne():
+    a, b = generate_permutations(128, 1)
+    h = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    sig = minhash_segments(h, np.array([[0, 1000]]), a, b)
+    assert sig.max() < (1 << 61)
+
+
+def test_minhash_segment_independence():
+    """Row signatures must not depend on batch neighbors."""
+    a, b = generate_permutations(32, 1)
+    flat, bounds = char_shingle_hashes([b"hello world", b"other text"], 3)
+    both = minhash_segments(flat, bounds, a, b)
+    f1, b1 = char_shingle_hashes([b"hello world"], 3)
+    solo = minhash_segments(f1, b1, a, b)
+    assert (both[0] == solo[0]).all()
+
+
+def test_minhash_estimate_tolerance():
+    """Estimate within binomial tolerance of exact Jaccard
+    (test.h:86-103 analogue; n=512 → s.d. ≈ sqrt(J(1-J)/512) ≤ 0.023)."""
+    a, b = generate_permutations(512, 1)
+    t1 = b"the quick brown fox jumps over the lazy dog and runs far away home"
+    t2 = b"the quick brown fox jumps over the lazy cat and runs far away home"
+    flat, bounds = char_shingle_hashes([t1, t2], 5)
+    sig = minhash_segments(flat, bounds, a, b)
+    est = (sig[0] == sig[1]).mean()
+    exact = exact_jaccard_hashed(
+        flat[bounds[0, 0] : bounds[0, 1]], flat[bounds[1, 0] : bounds[1, 1]]
+    )
+    assert est == pytest.approx(exact, abs=0.1)
+
+
+def test_minhash_fixed_matches_segments():
+    a, b = generate_permutations(16, 1)
+    h = np.array([[3, 8, 1], [9, 9, 2]], dtype=np.uint64)
+    fixed = minhash_fixed(h, a, b)
+    flat = h.reshape(-1)
+    seg = minhash_segments(flat, np.array([[0, 3], [3, 6]]), a, b)
+    assert (fixed == seg).all()
+
+
+def test_phash_windows_locality():
+    """Hamming-close phashes share most window shingles."""
+    ph = np.array([0x123456789ABCDEF0, 0x123456789ABCDEF1], dtype=np.int64)
+    w = phash_window_hashes(ph)
+    shared = (w[0] == w[1]).mean()
+    assert shared > 0.7
+    far = phash_window_hashes(np.array([0x123456789ABCDEF0, -0x123456789ABCDEF0], dtype=np.int64))
+    assert (far[0] == far[1]).mean() < shared
+
+
+def test_splitmix_bijective_like():
+    x = np.arange(10000, dtype=np.uint64)
+    assert len(np.unique(splitmix64(x))) == 10000
