@@ -17,8 +17,8 @@ def test_near_text_small_hamming_far_text_large():
     near = base.replace(b"dog", b"cat")
     far = b"completely different content with no overlap at all whatsoever xyz" * 3
     s = simhash_batch([base, near, far], 4)
-    d_near = bin((s[0] ^ s[1]) & ((1 << 64) - 1)).count("1")
-    d_far = bin((s[0] ^ s[2]) & ((1 << 64) - 1)).count("1")
+    d_near = bin((int(s[0]) ^ int(s[1])) & ((1 << 64) - 1)).count("1")
+    d_far = bin((int(s[0]) ^ int(s[2])) & ((1 << 64) - 1)).count("1")
     assert d_near < d_far
     assert d_near <= 12
 
