@@ -1,0 +1,185 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(graft extras; NOT in the reference — its cosine-LSH header is an
+unimplemented TODO, lsh_cosine_similarity.h:1-23).
+
+Two paths:
+  * brute-force cosine top-k — the small-scale baseline/oracle: a join +
+    native fold expressions (sequential accumulation → bit-stable against
+    a sequential SQL oracle);
+  * random-hyperplane (SRP/SimHash) bucketed search — the scale path:
+    embeddings → sign-bit signatures (vectorized numpy matmul against a
+    seeded hyperplane matrix regenerated per executor), multi-probe
+    band buckets → candidate join → exact re-rank.  Bucket join replaces
+    the O(n·q) cross product exactly as MinHash-LSH replaces all-pairs.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast-joined cross product +
+    window rank.  O(|Q|·|C|) — baseline only; ties broken by neighbor id
+    so results are total-ordered and oracle-comparable."""
+    joined = queries.crossJoin(corpus).withColumn(
+        "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "cosine", "rank")
+    )
+
+
+@lru_cache(maxsize=8)
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, n_bits))
+
+
+def srp_signature_udf(dim: int, n_bits: int = 64, seed: int = 7):
+    """pandas UDF: array<float> embedding → int64 sign-bit signature.
+    One numpy matmul per Arrow batch — fully vectorized."""
+
+    @F.pandas_udf(LongType())
+    def srp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        h = _hyperplanes(dim, n_bits, seed)
+        for batch in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+            if mat.size == 0:
+                yield pd.Series([], dtype=np.int64)
+                continue
+            signs = (mat @ h) > 0
+            packed = np.zeros(len(batch), dtype=np.uint64)
+            for j in range(n_bits):
+                packed |= signs[:, j].astype(np.uint64) << np.uint64(j)
+            yield pd.Series(packed.view(np.int64))
+
+    return srp
+
+
+def srp_bands_expr(sig: Column, n_bands: int = 8, bits_per_band: int = 8) -> Column:
+    """Split the SRP signature into bands (same banding idea as MinHash
+    LSH): array<struct<band_id, band_hash>> — two vectors collide in a band
+    iff those sign bits all agree."""
+    mask = (1 << bits_per_band) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(sig, i * bits_per_band).bitwiseAND(F.lit(mask)).alias("band_hash"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
+def srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-bucketed ANN: SRP signatures → band-bucket equi-join →
+    exact cosine re-rank of candidates only."""
+    bits_per_band = n_bits // n_bands
+    sig_udf = srp_signature_udf(dim, n_bits, seed)
+    qb = (
+        queries.withColumn("_sig", sig_udf(F.col(qvec)))
+        .select(qid, qvec, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(qid, qvec, "_b.band_id", "_b.band_hash")
+    )
+    cb = (
+        corpus.withColumn("_sig", sig_udf(F.col(cvec)))
+        .select(cid, cvec, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(cid, cvec, "_b.band_id", "_b.band_hash")
+    )
+    cands = (
+        qb.join(cb, ["band_id", "band_hash"])
+        .select(qid, qvec, cid, cvec)
+        .dropDuplicates([qid, cid])
+    )
+    scored = cands.withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+    w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_bits: int = 64,
+    n_bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
+    exact verify — the embedding analogue of the MinHash dedup pipeline."""
+    bits_per_band = n_bits // n_bands
+    sig_udf = srp_signature_udf(dim, n_bits, seed)
+    b = (
+        df.withColumn("_sig", sig_udf(F.col(vec_col)))
+        .select(id_col, vec_col, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(id_col, vec_col, "_b.band_id", "_b.band_hash")
+    )
+    left = b.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    right = b.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Weighted MinHash — Ioffe consistent weighted sampling (CWS).
+
+Re-expresses the reference's WeightMinHash (weight_minhash.h):
+  * RandomSample (weight_minhash.h:12-35): dense (dim × sample_size)
+    matrices r ~ Gamma(2,1), ln_c ~ ln Gamma(2,1), beta ~ U(0,1), seeded —
+    generated once driver-side and closed over / broadcast into the UDF;
+  * update (weight_minhash.h:78-106): t_k = ⌊ln w / r_k + β⌋,
+    ln_y = (t_k − β)·r_k, ln_a = ln_c − ln_y − r_k, k* = argmin ln_a,
+    emit (k*, t_{k*}); zero-weight dims excluded; all-zero vector → null
+    (the reference's update returns false);
+  * estimator (weight_minhash.h:262-273): fraction of samples whose
+    (k*, t) pairs match;
+  * generalized Jaccard Σmin/Σmax (weight_minhash.h:284-319) as the oracle.
+
+The sparse/set variant's order-dependent position map
+(weight_minhash.h:165-168, 186-188) is deliberately NOT replicated — it is
+irreproducible under partitioning; set inputs are positioned by a
+content-derived hash instead (the reference's own TODO,
+lsh_cosine_similarity.h:12-23, agrees).
+
+Samples are (k*, t) pairs packed into one int64 (k in the high 32 bits,
+zig-zagged t in the low 32) so a signature is a plain array<long> and the
+estimator is lane equality — same comparison semantics as the pair.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+FLT_MIN = np.float32(1.175494e-38)  # zero-weight stand-in (weight_minhash.h:85)
+
+
+@lru_cache(maxsize=4)
+def random_samples(dim: int, sample_size: int, seed: int = 1):
+    """Dense CWS sample matrices (weight_minhash.h:12-35)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    r = rng.gamma(2.0, 1.0, size=(dim, sample_size))
+    ln_c = np.log(rng.gamma(2.0, 1.0, size=(dim, sample_size)))
+    beta = rng.uniform(0.0, 1.0, size=(dim, sample_size))
+    return r, ln_c, beta
+
+
+def _pack(k: np.ndarray, t: np.ndarray) -> np.ndarray:
+    tz = (np.abs(t.astype(np.int64)) << 1) | (t < 0)  # zig-zag
+    return (k.astype(np.int64) << 32) | tz
+
+
+def wminhash_dense(weights: np.ndarray, dim: int, sample_size: int, seed: int = 1):
+    """CWS signature of one dense weight vector → packed (k*, t) int64
+    array, or None for an all-zero vector (update fails,
+    weight_minhash.h:80-83)."""
+    r, ln_c, beta = random_samples(dim, sample_size, seed)
+    w = np.asarray(weights, dtype=np.float64)
+    active = np.flatnonzero(w > 0)
+    if active.size == 0:
+        return None
+    lw = np.log(w[active])[:, None]
+    ra, ca, ba = r[active], ln_c[active], beta[active]
+    t = np.floor(lw / ra + ba)
+    ln_y = (t - ba) * ra
+    ln_a = ca - ln_y - ra
+    k_star = np.argmin(ln_a, axis=0)
+    cols = np.arange(sample_size)
+    return _pack(active[k_star], t[k_star, cols])
+
+
+def wminhash_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of matching samples (weight_minhash.h:262-273)."""
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def generalized_jaccard(w_a: np.ndarray, w_b: np.ndarray) -> float:
+    """Σ min(a,b) / Σ max(a,b) on aligned vectors (weight_minhash.h:284-294)."""
+    a = np.asarray(w_a, dtype=np.float64)
+    b = np.asarray(w_b, dtype=np.float64)
+    denom = np.maximum(a, b).sum()
+    return float(np.minimum(a, b).sum() / denom) if denom > 0 else 1.0
+
+
+def generalized_jaccard_maps(ma: dict, mb: dict) -> float:
+    """Set/map variant (weight_minhash.h:301-319)."""
+    keys = set(ma) | set(mb)
+    num = sum(min(ma.get(k, 0), mb.get(k, 0)) for k in keys)
+    den = sum(max(ma.get(k, 0), mb.get(k, 0)) for k in keys)
+    return num / den if den else 1.0
+
+
+def wminhash_udf(dim: int, sample_size: int, seed: int = 1):
+    """pandas UDF: array<float> dense weights → array<long> packed CWS
+    signature (null for all-zero rows).  The sample matrices regenerate
+    deterministically per executor (seeded) — the broadcast-free equivalent
+    of broadcasting RandomSample."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def wmh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            out = []
+            for v in batch:
+                if v is None:
+                    out.append(None)
+                    continue
+                sig = wminhash_dense(np.asarray(v), dim, sample_size, seed)
+                out.append(None if sig is None else list(sig))
+            yield pd.Series(out, dtype=object)
+
+    return wmh
+
+
+def generalized_jaccard_expr(a, b):
+    """Native Σmin/Σmax on two equal-length array columns — the exact
+    oracle as a codegen expression (zip_with + aggregate)."""
+    mins = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.least(x, y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    maxs = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.greatest(x, y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(maxs == 0, F.lit(1.0)).otherwise(mins / maxs)

@@ -1,0 +1,84 @@
+"""ANN over embeddings: brute-force baseline vs SRP-bucketed scale path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshdedup.ann import (
+    brute_force_topk,
+    cosine_expr,
+    embedding_near_dup_pairs,
+    srp_topk,
+)
+
+DIM = 16
+
+
+def _vecs(n, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    v = rng.standard_normal((n, DIM))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = [r["c"] for r in df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0) and got[1] == pytest.approx(0.0)
+
+
+def test_brute_force_topk(spark):
+    corpus = _vecs(50, 1)
+    queries = corpus[:3] + 0.01 * _vecs(3, 2)  # near-copies of rows 0..2
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(50)], ["cid", "cvec"]
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in queries[i]]) for i in range(3)], ["qid", "qvec"]
+    )
+    top = brute_force_topk(qdf, cdf, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+    for q in range(3):
+        ranks = sorted(by_q[q])
+        assert len(ranks) == 5
+        assert ranks[0][1] == q  # nearest neighbor is the perturbed source
+
+
+def test_srp_recall_at_10(spark):
+    corpus = _vecs(200, 3)
+    queries = corpus[:5] + 0.02 * _vecs(5, 4)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(200)], ["cid", "cvec"]
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in queries[i]]) for i in range(5)], ["qid", "qvec"]
+    )
+    exact = {
+        (r["qid"], r["cid"])
+        for r in brute_force_topk(qdf, cdf, k=1).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in srp_topk(qdf, cdf, k=10, dim=DIM, n_bits=64, n_bands=16).collect()
+    }
+    # the true NN (a near-copy, cosine ≈ 1) must be retrieved for most queries
+    hits = sum(1 for p in exact if p in approx)
+    assert hits >= 4
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = _vecs(30, 5)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant a near-dup of row 0
+    dup = base[0] + 0.001 * _vecs(1, 6)[0]
+    rows.append((99, [float(x) for x in dup / np.linalg.norm(dup)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", DIM, min_cosine=0.99, n_bands=16
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 99 for r in pairs)
+    for r in pairs:
+        assert r["cosine"] >= 0.99

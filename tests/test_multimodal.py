@@ -1,0 +1,40 @@
+"""Multimodal binary-column plumbing (decode/feature/resize; stubs gated)."""
+
+import pytest
+
+from lshdedup.multimodal import image_features, resize_images, sample_video_frames
+from lshdedup.synth import SynthConfig, synth_corpus
+from lshdedup.codec import decode_image
+
+
+def test_image_features(spark):
+    scfg = SynthConfig(n_rows=32, img_size=16)
+    df = synth_corpus(spark, scfg)
+    feats = image_features(df).collect()
+    assert len(feats) == 32
+    by_id = {r["image_id"]: r for r in feats}
+    src = {r["image_id"]: r for r in df.collect()}
+    for rid, feat in by_id.items():
+        assert feat["w"] == 16 and feat["h"] == 16
+        assert 0.0 <= feat["mean_luma"] <= 255.0
+        assert feat["phash"] == src[rid]["phash"]  # recompute matches stored
+
+
+def test_resize_images(spark):
+    scfg = SynthConfig(n_rows=8, img_size=16)
+    df = synth_corpus(spark, scfg)
+    out = resize_images(df, target=8).collect()
+    assert len(out) == 8
+    for r in out:
+        px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (8, 8)
+        assert r["fmt"] == "raw"
+
+
+def test_video_stub_raises(spark):
+    df = spark.createDataFrame([("v1", bytearray(b"fake"))], ["video_id", "bytes"])
+    with pytest.raises(Exception) as exc_info:
+        sample_video_frames(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

@@ -1,0 +1,84 @@
+"""Weighted MinHash semantics (weight_minhash.h; test.h:166-229 fixtures)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshdedup.wminhash import (
+    generalized_jaccard,
+    generalized_jaccard_expr,
+    generalized_jaccard_maps,
+    wminhash_dense,
+    wminhash_estimate,
+    wminhash_udf,
+)
+
+# the fixed vectors of test_weight_minhash (test.h:167-168)
+DATA1 = [1, 3, 4, 5, 6, 7, 8, 9, 10, 4]
+DATA2 = [1, 3, 4, 5, 6, 7, 8, 9, 10, 5]
+
+
+def test_generalized_jaccard_known_values():
+    """Documented 4/8 = 0.5 example (weight_minhash.h:277-283)."""
+    assert generalized_jaccard_maps({"a": 1, "b": 3}, {"a": 3, "c": 1}) == pytest.approx(
+        (1 + 0) / (3 + 3 + 1)
+    )
+    got = generalized_jaccard(np.array(DATA1), np.array(DATA2))
+    expected = sum(min(a, b) for a, b in zip(DATA1, DATA2)) / sum(
+        max(a, b) for a, b in zip(DATA1, DATA2)
+    )
+    assert got == pytest.approx(expected)
+
+
+def test_estimate_close_to_exact():
+    """WMH estimate within sampling error of generalized Jaccard
+    (weight_minhash_benchmark.h methodology: err ≤ ~0.03 @ 160 samples —
+    we allow 4σ)."""
+    dim, m = len(DATA1), 512
+    s1 = wminhash_dense(np.array(DATA1, dtype=float), dim, m)
+    s2 = wminhash_dense(np.array(DATA2, dtype=float), dim, m)
+    est = wminhash_estimate(s1, s2)
+    exact = generalized_jaccard(np.array(DATA1), np.array(DATA2))
+    assert est == pytest.approx(exact, abs=4 * np.sqrt(exact * (1 - exact) / m))
+
+
+def test_identical_vectors_estimate_one():
+    s = wminhash_dense(np.array(DATA1, dtype=float), len(DATA1), 64)
+    assert wminhash_estimate(s, s) == 1.0
+
+
+def test_all_zero_update_fails():
+    """All-zero weight vector → update fails (weight_minhash.h:80-83)."""
+    assert wminhash_dense(np.zeros(8), 8, 32) is None
+
+
+def test_random_vectors_error_bound():
+    """Mean abs error over seeded random dense vectors, mirroring
+    weight_minhash_benchmark.h:51-86."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    dim, m = 200, 256
+    errs = []
+    for _ in range(20):
+        a = rng.uniform(0, 10, dim)
+        b = rng.uniform(0, 10, dim)
+        sa = wminhash_dense(a, dim, m)
+        sb = wminhash_dense(b, dim, m)
+        errs.append(abs(wminhash_estimate(sa, sb) - generalized_jaccard(a, b)))
+    assert np.mean(errs) < 0.05
+
+
+def test_spark_udf_and_expr(spark):
+    dim = len(DATA1)
+    df = spark.createDataFrame(
+        [([float(x) for x in DATA1], [float(x) for x in DATA2]), (None, None)],
+        "a array<float>, b array<float>",
+    )
+    out = df.withColumn("sig_a", wminhash_udf(dim, 128)(F.col("a"))).withColumn(
+        "gj", generalized_jaccard_expr(F.col("a").cast("array<double>"), F.col("b").cast("array<double>"))
+    )
+    rows = out.collect()
+    want = wminhash_dense(np.array(DATA1, dtype=np.float32), dim, 128)
+    assert rows[0]["sig_a"] == list(want)
+    exact = generalized_jaccard(np.array(DATA1), np.array(DATA2))
+    assert rows[0]["gj"] == pytest.approx(exact)
+    assert rows[1]["sig_a"] is None
