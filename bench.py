@@ -1,0 +1,121 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline queries:
+  image_dedup     — the flagship pipeline end-to-end on a deterministic
+                    synthetic image+caption corpus (the north-rule input
+                    shape), size scaled to the sf of $SPARK_GRAFT_SF_DIR;
+                    `images_per_sec` derived from it is the BASELINE metric.
+  doc_signatures  — fused shingle→minhash signature throughput over the
+                    driver's documents table (the hot-path UDF alone).
+  doc_lsh_dedup   — banding + bucket self-join + exact verify over documents.
+  embedding_ann   — SRP-bucketed cosine top-k over the embeddings table.
+
+env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     LSHDEDUP_BENCH_ROWS (override synthetic corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
+    from lshdedup.config import DedupConfig
+    from lshdedup.pipeline import dedup_pipeline
+    from lshdedup.session import get_spark
+    from lshdedup.synth import SynthConfig, synth_corpus
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    if n_images is None:
+        n_images = int(os.environ.get("LSHDEDUP_BENCH_ROWS", 0)) or max(
+            2000, int(200_000 * sf_num)
+        )
+
+    spark = get_spark(
+        app_name="lshdedup-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # --- image_dedup: flagship pipeline on the north-rule input shape ---
+    scfg = SynthConfig(n_rows=n_images)
+    corpus = synth_corpus(spark, scfg, partitions=max(cpus * 2, 8))
+    # materialize input once so we time the pipeline, not the generator
+    corpus = corpus.persist()
+    n_actual = corpus.count()
+    cfg = DedupConfig(
+        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
+        shuffle_partitions=max(cpus, 16),
+    )
+    t0 = time.perf_counter()
+    res = dedup_pipeline(spark, corpus, cfg)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    queries["image_dedup"] = time.perf_counter() - t0
+    images_per_sec = n_actual / queries["image_dedup"]
+    corpus.unpersist()
+
+    # --- doc_signatures: hot-path UDF throughput over documents ---
+    from lshdedup.minhash import add_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc_cfg = DedupConfig(k=5, n_perm=128, b=32, r=4, use_phash=False, threshold=0.8)
+    t0 = time.perf_counter()
+    signed = add_signatures(docs, doc_cfg, text_col="text", phash_col="_none_")
+    signed.select(F.max(F.element_at("sig", 1))).collect()
+    queries["doc_signatures"] = time.perf_counter() - t0
+
+    # --- doc_lsh_dedup: banding + self-join + exact verify ---
+    import __spark_entry__ as entry_mod
+
+    t0 = time.perf_counter()
+    entry_mod.q_lsh_dedup_pairs(spark, sf_dir).count()
+    queries["doc_lsh_dedup"] = time.perf_counter() - t0
+
+    # --- embedding_ann: SRP-bucketed top-k ---
+    from lshdedup.ann import srp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    t0 = time.perf_counter()
+    srp_topk(q, c, k=10, dim=64).count()
+    queries["embedding_ann"] = time.perf_counter() - t0
+
+    spark.stop()
+    return {
+        "metric": "images_per_sec_end_to_end",
+        "value": round(images_per_sec, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_num,
+        "n_images": n_actual,
+        "n_clusters": n_clusters,
+        "cpus": cpus,
+        "total_sec": round(sum(queries.values()), 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+    sys.stdout.flush()

@@ -77,11 +77,12 @@ def quality_score_expr(text: Column | str) -> Column:
     tokens and low punctuation density.  Deterministic arithmetic only."""
     feats = quality_features(text)
     length_term = F.least(feats["n_tokens"].cast("double") / 64.0, F.lit(1.0))
-    return F.round(
+    # no rounding: the expression tree mirrors the SQL oracle exactly, so
+    # IEEE doubles match bit-for-bit
+    return (
         0.5 * length_term
         + 0.35 * feats["distinct_ratio"]
-        + 0.15 * (1.0 - F.least(feats["punct_ratio"] * 4.0, F.lit(1.0))),
-        6,
+        + 0.15 * (1.0 - F.least(feats["punct_ratio"] * 4.0, F.lit(1.0)))
     )
 
 
@@ -120,6 +121,7 @@ def rolling_fingerprint_udf(window: int = 16, keep_mod: int = 8):
     @F.pandas_udf(LongType())
     def fp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         mul = B ** np.uint64(window - 1)
+        np.seterr(over="ignore")  # uint64 rolling hash wraps by design
         for batch in batches:
             out = np.zeros(len(batch), dtype=np.uint64)
             for i, t in enumerate(batch):
