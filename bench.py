@@ -113,9 +113,78 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     }
 
 
+def run_pipeline_only(cpus: int, n_images: int) -> dict:
+    """Time ONLY the flagship pipeline on a fixed deterministic corpus —
+    the scaling-efficiency measurement (north rule: same job at N and 4N
+    parallelism; here local[8] vs local[32] on one machine)."""
+    import time as _time
+
+    from lshdedup.config import DedupConfig
+    from lshdedup.pipeline import dedup_pipeline
+    from lshdedup.session import get_spark
+    from lshdedup.synth import SynthConfig, synth_corpus
+
+    spark = get_spark(
+        app_name=f"lshdedup-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_corpus(
+        spark, SynthConfig(n_rows=n_images), partitions=128
+    ).persist()
+    n = corpus.count()
+    cfg = DedupConfig(
+        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9
+    )
+    t0 = _time.perf_counter()
+    res = dedup_pipeline(spark, corpus, cfg)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    wall = _time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_images": n,
+        "n_clusters": n_clusters,
+        "wall_sec": round(wall, 3),
+        "images_per_sec": round(n / wall, 2),
+    }
+
+
+def run_scaling(n_images: int) -> dict:
+    """Spawn one subprocess per parallelism level (fresh JVM each)."""
+    import subprocess
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--pipeline-only", str(cpus), str(n_images)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results[8]["wall_sec"]
+    t32 = results[32]["wall_sec"]
+    eff = (t8 / t32) / 4.0
+    return {
+        "n_images": n_images,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
+        print(json.dumps(run_pipeline_only(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 48_000
+        print(json.dumps(run_scaling(n)))
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        result = run_bench(sf_dir, cpus)
+        print(json.dumps(result))
     sys.stdout.flush()

@@ -107,6 +107,11 @@ def candidate_pairs(
     """
     w = Window.partitionBy("band_id", "band_hash")
     sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    # Materialize: the self-join consumes `sized` twice (left/right) and the
+    # skew report a third time; without this the upstream signature UDF
+    # would be recomputed per branch.  (The checkpointed pipeline gets the
+    # same effect from the parquet stage boundary.)
+    sized = sized.persist()
     eligible = sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= cfg.bucket_cap))
     skew_report = (
         sized.filter(F.col("_bsz") > cfg.bucket_cap)

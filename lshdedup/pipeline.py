@@ -84,6 +84,11 @@ def dedup_pipeline(
     )
     if cfg.verify_mode == "exact+simhash":
         signed = signed.withColumn("simhash", simhash_udf(cfg)(F.col(text_col)))
+    if not runner:
+        # signed is consumed by banding AND twice by verify-enrich; persist
+        # so the signature UDF runs exactly once per row (the checkpointed
+        # path gets this from the parquet stage boundary instead)
+        signed = signed.persist()
 
     # 3. band explode → candidate pairs (the LSH "join")
     buckets = explode_bands(signed, id_col, "sig", cfg)
@@ -95,6 +100,8 @@ def dedup_pipeline(
         return pairs
 
     candidates = run("candidates", _cands)
+    if not runner:
+        candidates = candidates.persist()  # reused by verify + result
     skew = cand_holder.get("skew")
     if skew is None:  # resumed: recompute report definition lazily
         _, skew = candidate_pairs(buckets, id_col, cfg)
