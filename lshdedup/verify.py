@@ -124,7 +124,9 @@ def verify_pairs(
     """Score candidate pairs and decide ``is_dup``.
 
     Emitted columns: id_a, id_b, mh_sim, jaccard, (phash_hamming),
-    (simhash_hamming), (lcs_ratio), is_dup.
+    (simhash_hamming), (lcs_ratio), is_dup.  Pairs whose minhash estimate
+    sits ≥6σ below the threshold (and that no other channel could accept)
+    are pre-pruned and absent from the output — they could never verify.
 
     Decision (cfg.verify_mode):
       minhash        — mh_sim >= threshold (the reference's own filter,
@@ -138,24 +140,60 @@ def verify_pairs(
     want_simhash = (
         cfg.verify_mode == "exact+simhash" and simhash_col is not None
     )
-    cols = [text_col, sig_col]
+    # Per-DOC preparation (narrow, once per row — not per pair): hashed
+    # distinct shingle sets + their sizes.  Exact Jaccard on 64-bit-hashed
+    # shingles equals string-set Jaccard up to negligible collisions, joins
+    # far cheaper than string arrays, and |A∪B| = |A|+|B|−|A∩B| means the
+    # union array is never materialized.
+    prep_cols = [F.col(id_col), F.col(sig_col)]
+    need_text = cfg.lcs_min_ratio > 0
+    if cfg.verify_mode != "minhash":
+        sh = F.transform(
+            distinct_char_shingles_expr(F.col(text_col), cfg.k),
+            lambda s: F.xxhash64(s),
+        )
+        prep_cols += [sh.alias("_sh"), F.size(sh).alias("_nsh")]
+    if need_text:
+        prep_cols.append(F.col(text_col))
     if use_phash:
-        cols.append(phash_col)
+        prep_cols.append(F.col(phash_col))
     if want_simhash:
-        cols.append(simhash_col)
-    rich = enrich_pairs(pairs, docs, id_col, cols)
+        prep_cols.append(F.col(simhash_col))
+    prepped = docs.select(*prep_cols)
+
+    cols = [c for c in prepped.columns if c != id_col]
+    rich = enrich_pairs(pairs, prepped, id_col, cols)
 
     mh = minhash_similarity_expr(F.col(f"{sig_col}_a"), F.col(f"{sig_col}_b"))
-    jac = exact_jaccard_expr(
-        distinct_char_shingles_expr(F.col(f"{text_col}_a"), cfg.k),
-        distinct_char_shingles_expr(F.col(f"{text_col}_b"), cfg.k),
-    )
     out = rich.withColumn("mh_sim", mh)
     if cfg.verify_mode == "minhash":
         out = out.withColumn("is_dup", F.col("mh_sim") >= cfg.threshold)
         keep = ["id_a", "id_b", "mh_sim", "is_dup"]
         return out.select(*keep)
 
+    # cheap prefilter before the exact intersection: with n_perm lanes the
+    # estimator's s.d. is ≤ 0.5/√n_perm, so a margin of 6σ below the
+    # threshold cannot drop a true pair; phash-channel pairs are kept
+    # unconditionally
+    margin = 3.0 / (cfg.n_perm ** 0.5)
+    pre = F.col("mh_sim") >= cfg.threshold - margin
+    if use_phash:
+        pre = pre | (
+            hamming_expr(F.col(f"{phash_col}_a"), F.col(f"{phash_col}_b"))
+            <= cfg.simhash_max_hamming
+        )
+    if want_simhash:
+        pre = pre | (
+            hamming_expr(F.col(f"{simhash_col}_a"), F.col(f"{simhash_col}_b"))
+            <= cfg.simhash_max_hamming
+        )
+    if cfg.lcs_min_ratio > 0:
+        pre = F.lit(True)  # LCS channel can fire on low-Jaccard pairs
+    out = out.filter(pre)
+
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.col("_nsh_a") + F.col("_nsh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
     out = out.withColumn("jaccard", jac)
     dup: Column = F.col("jaccard") >= cfg.threshold
     keep = ["id_a", "id_b", "mh_sim", "jaccard"]

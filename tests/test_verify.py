@@ -44,7 +44,8 @@ def test_verify_exact_mode(spark):
     # a-c: caption jaccard tiny, but phash hamming(100,101)=bit_count(1)=1 <= 3
     assert got[("a", "c")]["phash_hamming"] == 1
     assert got[("a", "c")]["is_dup"] is True
-    assert got[("a", "d")]["is_dup"] is False
+    # hopeless pairs may be pre-pruned entirely; if present they are not dups
+    assert ("a", "d") not in got or got[("a", "d")]["is_dup"] is False
 
 
 def test_verify_minhash_mode(spark):
