@@ -23,7 +23,7 @@ from lshdedup.params import optimal_params
 # aggressive banding (collision prob ≈ 1 for J ≥ 0.8 → LSH output equals
 # the exact-Jaccard oracle pair set)
 DOC_CFG = DedupConfig(
-    k=5, n_perm=128, seed=1, threshold=0.8, b=32, r=4, use_phash=False,
+    k=5, n_perm=128, seed=1, threshold=0.8, b=21, r=6, use_phash=False,
     bucket_cap=10_000,
 )
 
@@ -111,25 +111,39 @@ def q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lshdedup.shingle import distinct_char_shingles_expr, exact_jaccard_expr
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    signed = add_signatures(d, DOC_CFG, text_col="text", phash_col="_none_")
+    signed = add_signatures(d, DOC_CFG, text_col="text", phash_col="_none_").persist()
     buckets = explode_bands(signed, "doc_id", "sig", DOC_CFG)
     pairs, _ = candidate_pairs(buckets, "doc_id", DOC_CFG)
-    texts = d
+    # per-DOC distinct shingle arrays, computed once (string arrays so the
+    # integer inter/uni match the oracle exactly, no hash-collision risk)
+    sets = signed.select(
+        "doc_id",
+        distinct_char_shingles_expr(F.col("text"), 5).alias("sh"),
+    ).withColumn("nsh", F.size("sh"))
     rich = (
         pairs.join(
-            texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")), "id_a"
+            sets.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("nsh").alias("n_a"),
+            ),
+            "id_a",
         ).join(
-            texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")), "id_b"
+            sets.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("nsh").alias("n_b"),
+            ),
+            "id_b",
         )
     )
-    sh_a = distinct_char_shingles_expr(F.col("text_a"), 5)
-    sh_b = distinct_char_shingles_expr(F.col("text_b"), 5)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
         rich.select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect(sh_a, sh_b)).alias("inter"),
-            F.size(F.array_union(sh_a, sh_b)).alias("uni"),
+            inter.alias("inter"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
         )
         .filter(F.col("inter") * 5 >= F.col("uni") * 4)  # J >= 0.8, integer form
         .select("id_a", "id_b", "inter", "uni")
