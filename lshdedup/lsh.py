@@ -124,8 +124,24 @@ def candidate_pairs(
     b = eligible.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
     )
+    if cfg.pair_salt > 1:
+        # explicit skew salting (north rule): split each bucket's LEFT side
+        # into pair_salt sub-keys by id-hash; replicate the RIGHT side once
+        # per salt.  The join key becomes (band_id, band_hash, salt), so a
+        # hot bucket's m² pair work spreads over pair_salt reducers.  Pair
+        # set is unchanged.  (AQE skew-join splitting does this adaptively;
+        # the explicit path guarantees it for pathological buckets.)
+        s = cfg.pair_salt
+        a = a.withColumn("_salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(s)))
+        b = b.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s - 1).cast("long"))),
+        )
+        join_keys = ["band_id", "band_hash", "_salt"]
+    else:
+        join_keys = ["band_id", "band_hash"]
     pairs = (
-        a.join(b, on=["band_id", "band_hash"])
+        a.join(b, on=join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

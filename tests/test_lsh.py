@@ -109,3 +109,23 @@ def test_pair_set_matches_sequential_query_then_insert(spark):
         buckets.setdefault(key, []).append(row["image_id"])
     assert pairs == expected
     assert ("a", "b") in pairs
+
+
+def test_salted_pairs_equal_unsalted(spark):
+    """pair_salt changes partitioning only — identical pair set."""
+    import dataclasses
+
+    cfg = DedupConfig(k=2, n_perm=16, b=4, r=4, use_phash=False)
+    rows = [(f"d{i}", ["abcabc", "abcabx", "zzzzzz", "abcabc"][i % 4] * 2) for i in range(12)]
+    signed = _signed(spark, cfg, rows)
+    bands = explode_bands(signed, "image_id", "sig", cfg).cache()
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(bands, "image_id", cfg)[0].collect()
+    }
+    salted_cfg = dataclasses.replace(cfg, pair_salt=4)
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(bands, "image_id", salted_cfg)[0].collect()
+    }
+    assert plain == salted and len(plain) > 0
