@@ -16,6 +16,7 @@ to a queryable ``_metrics`` parquet table.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -37,7 +38,10 @@ class StageRunner:
         self.cfg = cfg
         self.root = os.path.join(cfg.checkpoint_dir, cfg.run_id)
         os.makedirs(self.root, exist_ok=True)
-        self.cfg_hash = abs(hash(cfg.to_json())) % (1 << 62)
+        # stable across driver restarts (builtin hash() is per-process salted,
+        # which would defeat resume-after-kill)
+        digest = hashlib.sha256(cfg.to_json().encode("utf-8")).hexdigest()
+        self.cfg_hash = int(digest[:15], 16)
         self.events: list[dict] = []
 
     # -- storage primitives (swap for Iceberg writeTo/load on a cluster) --

@@ -117,6 +117,31 @@ def test_checkpoint_resume(spark, tmp_path):
     df.unpersist()
 
 
+def test_cfg_hash_stable_across_processes(tmp_path):
+    """Resume-after-kill only works if the config fingerprint survives a
+    driver restart — builtin hash() is per-process salted, so the runner
+    must use a content hash."""
+    import dataclasses
+    import subprocess
+    import sys
+
+    from lshdedup.checkpoint import StageRunner
+
+    cfg = dataclasses.replace(CFG, checkpoint_dir=str(tmp_path), run_id="hash_test")
+    local = StageRunner(None, cfg).cfg_hash
+    code = (
+        "from lshdedup.config import DedupConfig\n"
+        "from lshdedup.checkpoint import StageRunner\n"
+        f"cfg = DedupConfig.from_json({cfg.to_json()!r})\n"
+        "print(StageRunner(None, cfg).cfg_hash)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        env={**__import__("os").environ, "PYTHONHASHSEED": "random"},
+    )
+    assert int(out.stdout.strip()) == local
+
+
 def test_skew_report_and_bytes_pruned(spark, result, tmp_path):
     """skew report is well-formed; over a parquet source, column pruning
     reaches the scan — the fat `bytes` column is never read (SURVEY §7.4)."""
