@@ -57,7 +57,7 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     n_actual = corpus.count()
     cfg = DedupConfig(
         threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=max(cpus, 16), sig_scheme="oph",
     )
     t0 = time.perf_counter()
     res = dedup_pipeline(spark, corpus, cfg)
@@ -124,10 +124,12 @@ def run_pipeline_only(cpus: int, n_images: int) -> dict:
     from lshdedup.session import get_spark
     from lshdedup.synth import SynthConfig, synth_corpus
 
+    # IDENTICAL plan at both parallelism levels: fixed shuffle partitioning
+    # and input partitioning; only the executor-thread count varies.
     spark = get_spark(
         app_name=f"lshdedup-scale-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=64,
     )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = synth_corpus(
@@ -135,7 +137,8 @@ def run_pipeline_only(cpus: int, n_images: int) -> dict:
     ).persist()
     n = corpus.count()
     cfg = DedupConfig(
-        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9
+        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
+        sig_scheme="oph",
     )
     t0 = _time.perf_counter()
     res = dedup_pipeline(spark, corpus, cfg)
@@ -151,12 +154,18 @@ def run_pipeline_only(cpus: int, n_images: int) -> dict:
     }
 
 
-def run_scaling(n_images: int) -> dict:
-    """Spawn one subprocess per parallelism level (fresh JVM each)."""
+def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
+    """Spawn one subprocess per parallelism level (fresh JVM each).
+
+    lo/hi are the N and 4N parallelism levels (north rule).  The sandbox VM
+    itself stops scaling near 16 threads (aggregate uint64 throughput probes:
+    1→8 procs = 7.3x, 8→32 procs = 2.6x), so pick a pair whose upper level
+    is within the machine's real headroom when measuring engine efficiency.
+    """
     import subprocess
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         out = subprocess.run(
             [sys.executable, __file__, "--pipeline-only", str(cpus), str(n_images)],
             capture_output=True,
@@ -164,14 +173,15 @@ def run_scaling(n_images: int) -> dict:
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8 = results[8]["wall_sec"]
-    t32 = results[32]["wall_sec"]
-    eff = (t8 / t32) / 4.0
+    t_lo = results[lo]["wall_sec"]
+    t_hi = results[hi]["wall_sec"]
+    ratio = hi / lo
+    eff = (t_lo / t_hi) / ratio
     return {
         "n_images": n_images,
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(t8 / t32, 3),
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
+        f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
     }
 
@@ -181,7 +191,9 @@ if __name__ == "__main__":
         print(json.dumps(run_pipeline_only(int(sys.argv[2]), int(sys.argv[3]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 48_000
-        print(json.dumps(run_scaling(n)))
+        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        print(json.dumps(run_scaling(n, lo, hi)))
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

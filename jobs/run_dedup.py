@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bucket-cap", type=int, default=4096)
     p.add_argument("--pair-salt", type=int, default=0)
     p.add_argument("--verify-mode", default="exact", choices=["minhash", "exact", "exact+simhash"])
+    p.add_argument("--sig-scheme", default="oph", choices=["kperm", "oph"],
+                   help="oph = one-permutation hashing (scale path, default); "
+                        "kperm = classic 128-permutation (reference parity)")
     p.add_argument("--no-phash", action="store_true")
     p.add_argument("--master", help="override master (default: spark-submit's)")
     args = p.parse_args(argv)
@@ -92,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         bucket_cap=args.bucket_cap,
         pair_salt=args.pair_salt,
         verify_mode=args.verify_mode,
+        sig_scheme=args.sig_scheme,
         use_phash=not args.no_phash,
         checkpoint_dir=args.checkpoint_dir,
         run_id=args.run_id,

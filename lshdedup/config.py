@@ -31,6 +31,8 @@ class DedupConfig:
     n_perm: int = 128             # n_permutation default [minhash.h:85]
     seed: int = 1                 # RandomHashPermutation seed [minhash.h:58]
     minhash_bits: int = 64        # 32 folds via % 2^31-1 [hash.h:52-84]
+    sig_scheme: str = "kperm"     # "kperm" (reference parity) | "oph" (scale
+                                  # path: one-permutation hashing, O(n_grams))
 
     # --- LSH banding (lsh.h) ---
     threshold: float = 0.7        # candidate-verify threshold [dna_benchmark.h:29]

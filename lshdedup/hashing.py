@@ -34,6 +34,36 @@ _SM_GAMMA = U64(0x9E3779B97F4A7C15)
 _SM_M1 = U64(0xBF58476D1CE4E5B9)
 _SM_M2 = U64(0x94D049BB133111EB)
 
+# ---------------------------------------------------------------------------
+# Worker-persistent scratch arena.
+#
+# On throttled/virtualized hosts, first-touch page faults on fresh
+# allocations can cost ~100x the arithmetic they serve (measured here:
+# ~170 s/GB first-touch vs 11 ns/elem warm uint64 math).  numpy temporaries
+# above the malloc mmap threshold are mmap'd AND munmap'd per expression, so
+# every hot-loop temp pays that price again.  Spark reuses Python workers
+# across tasks, so buffers cached at module level amortize the fault cost to
+# once per (worker, size-class) instead of once per expression per batch.
+# ---------------------------------------------------------------------------
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def scratch(key: str, shape: tuple[int, ...], dtype=U64) -> np.ndarray:
+    """A reusable uninitialized buffer of ``shape``/``dtype`` per key.
+
+    Grows monotonically (1.25x headroom) and persists for the life of the
+    Python worker.  Contents are garbage — callers must fully overwrite.
+    """
+    n = 1
+    for s in shape:
+        n *= int(s)
+    need = n * np.dtype(dtype).itemsize
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.nbytes < need:
+        buf = np.empty(int(need * 1.25) + 64, dtype=np.uint8)
+        _SCRATCH[key] = buf
+    return buf[:need].view(dtype).reshape(shape)
+
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — our 64-bit integer hash.
@@ -55,8 +85,11 @@ def fnv1a_windows(windows: np.ndarray, seed: int = 0) -> np.ndarray:
     loop is over k with every iteration vectorized across all n windows.
     """
     h = np.full(windows.shape[0], _FNV_OFFSET ^ U64(seed), dtype=U64)
+    col = scratch("fnv_col", (windows.shape[0],))
     for j in range(windows.shape[1]):
-        h = (h ^ windows[:, j].astype(U64)) * _FNV_PRIME
+        np.copyto(col, windows[:, j], casting="unsafe")
+        np.bitwise_xor(h, col, out=h)
+        np.multiply(h, _FNV_PRIME, out=h)
     return h
 
 
@@ -110,15 +143,24 @@ def minhash_segments(
     n_rows = bounds.shape[0]
     n_perm = a.shape[0]
     # sentinel so every reduceat end index stays < len
-    h = np.concatenate([hashes.astype(U64, copy=False), np.array([U64(0)], dtype=U64)])
+    h = np.empty(hashes.size + 1, dtype=U64)
+    h[:-1] = hashes
+    h[-1] = U64(0)
     idx = bounds.astype(np.int64, copy=False).reshape(-1)
     out = np.empty((n_rows, n_perm), dtype=U64)
+    # One worker-persistent scratch buffer, ALL block math in-place.  Fresh
+    # multi-hundred-MB temporaries per block would be mmap'd/munmap'd by the
+    # allocator each iteration and first-touch page faults dominate the whole
+    # stage (measured ~100x slower, worse under many concurrent executors).
+    tmp = scratch("mh_seg", (min(block, n_perm), h.size))
     for s in range(0, n_perm, block):
-        ab = a[s : s + block][:, None]
-        bb = b[s : s + block][:, None]
-        v = (ab * h[None, :] + bb) % _P61  # uint64 wrap mod 2^64, then mod p
-        red = np.minimum.reduceat(v, idx, axis=1)
-        out[:, s : s + block] = red[:, ::2].T
+        blk = min(block, n_perm - s)
+        t = tmp[:blk]
+        np.multiply(a[s : s + blk, None], h[None, :], out=t)  # wraps mod 2^64
+        np.add(t, b[s : s + blk, None], out=t)
+        np.mod(t, _P61, out=t)
+        red = np.minimum.reduceat(t, idx, axis=1)
+        out[:, s : s + blk] = red[:, ::2].T
     return out
 
 
@@ -127,15 +169,17 @@ def minhash_fixed(
 ) -> np.ndarray:
     """MinHash over a fixed-width (n_rows, m) hash matrix (e.g. the 16
     pHash windows per image).  Same math as minhash_segments."""
-    n_rows, _ = hashes.shape
+    n_rows, m = hashes.shape
     n_perm = a.shape[0]
     out = np.empty((n_rows, n_perm), dtype=U64)
     h = hashes.astype(U64, copy=False)
     for s in range(0, n_perm, block):
-        ab = a[s : s + block][None, None, :]
-        bb = b[s : s + block][None, None, :]
-        v = (h[:, :, None] * ab + bb) % _P61
-        out[:, s : s + block] = v.min(axis=1)
+        blk = min(block, n_perm - s)
+        t = scratch("mh_fix", (n_rows, m, blk))
+        np.multiply(h[:, :, None], a[s : s + blk][None, None, :], out=t)
+        np.add(t, b[s : s + blk][None, None, :], out=t)
+        np.mod(t, _P61, out=t)
+        out[:, s : s + blk] = t.min(axis=1)
     return out
 
 
@@ -188,6 +232,153 @@ def phash_window_hashes(
         # so phash shingles can never collide with caption shingles
         cols.append(splitmix64(win ^ (U64(i + 1) << U64(48)) ^ U64(0x9E1)))
     return np.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# One-permutation hashing (OPH) — the scale-path signature scheme.
+#
+# Classic k-permutation MinHash costs O(n_grams * n_perm) memory traffic per
+# batch; at 100 TB (and on bandwidth-throttled hosts) that traffic IS the
+# bottleneck.  One-permutation hashing (Li, Owen, Zhang, NIPS 2012) hashes
+# each element ONCE and splits the hash space into n_perm buckets: bucket
+# k = top bits, value = low bits; signature[k] = min value landing in bucket
+# k.  Empty buckets are filled by rotation densification (Shrivastava & Li,
+# ICML 2014): borrow the next non-empty ORIGINAL bucket's value to the right
+# (circular), offset by hops*C so borrowed lanes stay distinct across
+# distances.  P(sig_a[k] == sig_b[k]) ≈ J exactly as with k permutations,
+# at 1/n_perm the compute.  Same banding/LSH machinery applies downstream.
+# ---------------------------------------------------------------------------
+_OPH_C = U64(0x27D4EB2F165667C5)  # densification hop offset (odd constant)
+_OPH_EMPTY = U64(1) << U64(62)    # sentinel > any masked value, int64-positive
+
+
+def ragged_valid_indices(bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat indices selecting each row's own grams from the concatenated
+    window array produced by char_shingle_hashes (which also contains
+    cross-row windows between segments).
+
+    Returns (idx into flat, lens per row)."""
+    lens = (bounds[:, 1] - bounds[:, 0]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), lens
+    cum = np.zeros(bounds.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    base = np.repeat(bounds[:, 0] - cum, lens)
+    return np.arange(total, dtype=np.int64) + base, lens
+
+
+def _oph_vmask(n_perm: int) -> np.ndarray:
+    kbits = int(n_perm).bit_length() - 1
+    return U64((1 << (64 - kbits)) - 1) & (_OPH_EMPTY - U64(1))
+
+
+def oph_raw(
+    gram_hashes: np.ndarray,
+    lens: np.ndarray,
+    n_perm: int,
+    seed: int = 1,
+) -> np.ndarray:
+    """Pre-densification OPH bucket minima (EMPTY sentinel where no gram
+    landed).  Raw matrices of DIFFERENT gram spaces over the same rows merge
+    exactly with np.minimum — min-per-bucket of a union is the min of the
+    per-set bucket minima — so multi-channel signatures (caption grams ∪
+    pHash windows) densify once after merging.
+
+    gram_hashes : (total,) uint64 — row i owns the slice after its
+                  predecessors' ``lens`` (ragged, contiguous).
+    lens        : (n_rows,) int — grams per row (0 allowed).
+    n_perm      : power of two.
+    returns     : (n_rows, n_perm) uint64; _OPH_EMPTY marks empty buckets.
+    """
+    assert n_perm & (n_perm - 1) == 0, "n_perm must be a power of two"
+    n_rows = lens.shape[0]
+    kbits = int(n_perm).bit_length() - 1
+    shift = U64(64 - kbits)
+    vmask = _oph_vmask(n_perm)
+    total = int(lens.sum())
+
+    sig = np.full(n_rows * n_perm, _OPH_EMPTY, dtype=U64)
+    if total == 0:
+        return sig.reshape(n_rows, n_perm)
+    h = scratch("oph_h", (total,))
+    np.bitwise_xor(gram_hashes, U64(splitmix64_scalar_seed(seed)), out=h)
+    _sm_finalize(h)  # splitmix64, in place
+    d = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    k = scratch("oph_k", (total,))
+    np.right_shift(h, shift, out=k)
+    combined = scratch("oph_comb", (total,), np.int64)
+    np.multiply(d, n_perm, out=combined)
+    np.add(combined, k.view(np.int64), out=combined)  # k < n_perm, view safe
+    np.bitwise_and(h, vmask, out=h)  # h becomes the bucket value
+
+    # scatter-min: descending value order, last write (the minimum) wins
+    order = np.argsort(h)[::-1]
+    sig[combined[order]] = h[order]
+    return sig.reshape(n_rows, n_perm)
+
+
+def oph_densify(sig: np.ndarray, n_perm: int, seed: int = 1) -> np.ndarray:
+    """Rotation densification: each empty bucket borrows the value of the
+    nearest non-empty ORIGINAL bucket to its right (circular), offset by
+    hops * C so borrowed lanes stay distinct across distances."""
+    vmask = _oph_vmask(n_perm)
+    res = sig.copy()
+    nonempty_src = sig != _OPH_EMPTY
+    if not nonempty_src.any():
+        return _fill_empty_rows(res, vmask, seed)
+    for hop in range(1, n_perm):
+        need = res == _OPH_EMPTY
+        if not need.any():
+            break
+        cand = np.roll(sig, -hop, axis=1)
+        ok = need & np.roll(nonempty_src, -hop, axis=1)
+        hop_off = U64((hop * int(_OPH_C)) & 0xFFFFFFFFFFFFFFFF)  # wrap in Python int
+        fill = (cand + hop_off) & vmask
+        res[ok] = fill[ok]
+    return _fill_empty_rows(res, vmask, seed)
+
+
+def oph_signatures(
+    gram_hashes: np.ndarray,
+    lens: np.ndarray,
+    n_perm: int,
+    seed: int = 1,
+) -> np.ndarray:
+    """Densified OPH signature matrix: see oph_raw / oph_densify."""
+    return oph_densify(oph_raw(gram_hashes, lens, n_perm, seed), n_perm, seed)
+
+
+def _fill_empty_rows(res: np.ndarray, vmask: np.ndarray, seed: int) -> np.ndarray:
+    """Zero-gram rows stay all-EMPTY after densification; fill with a
+    lane-only (content- and partition-independent) deterministic value —
+    two empty documents are identical, so they SHOULD fully match."""
+    still = res == _OPH_EMPTY
+    if still.any():
+        _, cols = np.nonzero(still)
+        res[still] = splitmix64(cols.astype(U64) ^ U64(seed)) & vmask
+    return res
+
+
+def splitmix64_scalar_seed(seed: int) -> int:
+    """Scalar splitmix64 of a Python int (seed mixing)."""
+    z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _sm_finalize(z: np.ndarray) -> None:
+    """In-place splitmix64 finalizer (no temporaries beyond one scratch)."""
+    t = scratch("smf", z.shape)
+    np.right_shift(z, U64(30), out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM_M1, out=z)
+    np.right_shift(z, U64(27), out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM_M2, out=z)
+    np.right_shift(z, U64(31), out=t)
+    np.bitwise_xor(z, t, out=z)
 
 
 def minhash_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

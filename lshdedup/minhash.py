@@ -32,7 +32,10 @@ from lshdedup.hashing import (
     generate_permutations,
     minhash_fixed,
     minhash_segments,
+    oph_densify,
+    oph_raw,
     phash_window_hashes,
+    ragged_valid_indices,
     splitmix64,
 )
 
@@ -118,6 +121,48 @@ def phash_signature_udf(cfg: DedupConfig):
     return sig
 
 
+def oph_signature_udf(cfg: DedupConfig, with_phash: bool):
+    """pandas UDF: one-permutation-hashing signature (hashing.oph_raw) —
+    the scale-path scheme: O(n_grams) per document instead of
+    O(n_grams × n_perm), same LSH banding downstream.
+
+    with_phash=True takes (caption, phash) and signs the UNION of caption
+    k-gram hashes and pHash window hashes exactly (raw bucket matrices
+    merge via elementwise min BEFORE densification)."""
+    k, n_perm, seed = cfg.k, cfg.n_perm, cfg.seed
+    wbits, step = cfg.phash_window_bits, cfg.phash_window_step
+
+    def _caption_raw(texts: pd.Series) -> np.ndarray:
+        raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in texts]
+        flat, bounds = char_shingle_hashes(raw, k)
+        idx, lens = ragged_valid_indices(bounds)
+        return oph_raw(flat[idx], lens, n_perm, seed)
+
+    if not with_phash:
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for batch in texts:
+                out = oph_densify(_caption_raw(batch), n_perm, seed)
+                yield _sig_to_series(out)
+
+        return sig
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig2(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for texts, phashes in it:
+            cap = _caption_raw(texts)
+            ph = phashes.fillna(0).to_numpy(dtype=np.int64)
+            wins = phash_window_hashes(ph, wbits, step)  # (n, m) uint64
+            m = wins.shape[1]
+            lens = np.full(len(texts), m, dtype=np.int64)
+            img = oph_raw(wins.reshape(-1), lens, n_perm, seed)
+            out = oph_densify(np.minimum(cap, img), n_perm, seed)
+            yield _sig_to_series(out)
+
+    return sig2
+
+
 def merge_signatures_expr(sig_a: Column, sig_b: Column) -> Column:
     """Element-wise min of two signatures == signature of the shingle-set
     union.  Native zip_with — stays in codegen."""
@@ -142,7 +187,20 @@ def add_signatures(
 
     caption-only, phash-only, or blended (elementwise min) per config.
     Narrow transformation — no shuffle is introduced here.
+
+    cfg.sig_scheme: "kperm" = classic (a*h+b) mod p over 128 permutations
+    (reference-parity path, minhash.h:135-169); "oph" = one-permutation
+    hashing (scale path — see hashing.oph_raw).
     """
+    if cfg.sig_scheme == "oph":
+        use_ph = cfg.use_phash and phash_col in df.columns
+        udf = oph_signature_udf(cfg, use_ph)
+        col = (
+            udf(F.col(text_col), F.col(phash_col))
+            if use_ph
+            else udf(F.col(text_col))
+        )
+        return df.withColumn(out_col, col)
     cap_sig = caption_signature_udf(cfg)(F.col(text_col))
     if cfg.use_phash and phash_col in df.columns:
         ph_sig = phash_signature_udf(cfg)(F.col(phash_col))

@@ -115,3 +115,74 @@ def test_phash_windows_locality():
 def test_splitmix_bijective_like():
     x = np.arange(10000, dtype=np.uint64)
     assert len(np.unique(splitmix64(x))) == 10000
+
+
+# ----------------------------- one-permutation hashing (scale path) -----
+def _oph_gramsets(n_docs=40, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(1, 2**62, size=400, dtype=np.uint64)
+    sets, lens = [], []
+    for i in range(n_docs):
+        m = int(rng.integers(30, 120))
+        sets.append(rng.choice(base, size=m, replace=False))
+        lens.append(m)
+    flat = np.concatenate(sets)
+    return sets, flat, np.array(lens, dtype=np.int64)
+
+
+def test_oph_estimator_tracks_exact_jaccard():
+    from lshdedup.hashing import oph_signatures
+
+    sets, flat, lens = _oph_gramsets()
+    sig = oph_signatures(flat, lens, 128, seed=1)
+    errs = []
+    for i in range(0, 20, 2):
+        ex = exact_jaccard_hashed(sets[i], sets[i + 1])
+        est = float((sig[i] == sig[i + 1]).mean())
+        errs.append(abs(ex - est))
+    # 128 lanes -> sd <= 0.5/sqrt(128) ~ 0.044; allow 4 sd
+    assert np.mean(errs) < 0.09
+
+
+def test_oph_identical_sets_match_fully():
+    from lshdedup.hashing import oph_signatures
+
+    sets, flat, lens = _oph_gramsets()
+    both = np.concatenate([sets[0], sets[0]])
+    sig = oph_signatures(both, np.array([lens[0], lens[0]]), 128, seed=1)
+    assert np.array_equal(sig[0], sig[1])
+
+
+def test_oph_batch_split_determinism():
+    from lshdedup.hashing import oph_signatures
+
+    sets, flat, lens = _oph_gramsets()
+    whole = oph_signatures(flat, lens, 128, seed=1)
+    cut = int(lens[:7].sum())
+    part = oph_signatures(flat[:cut], lens[:7], 128, seed=1)
+    assert np.array_equal(whole[:7], part)
+
+
+def test_oph_raw_merge_equals_union():
+    """min of raw bucket matrices == raw matrix of the union set
+    (the exact multi-channel blend used for caption+phash)."""
+    from lshdedup.hashing import oph_densify, oph_raw
+
+    sets, flat, lens = _oph_gramsets()
+    a, b = sets[0], sets[1]
+    ra = oph_raw(a, np.array([len(a)]), 128, seed=1)
+    rb = oph_raw(b, np.array([len(b)]), 128, seed=1)
+    union = np.concatenate([a, b])
+    ru = oph_raw(union, np.array([len(union)]), 128, seed=1)
+    assert np.array_equal(np.minimum(ra, rb), ru)
+    assert np.array_equal(
+        oph_densify(np.minimum(ra, rb), 128, 1), oph_densify(ru, 128, 1)
+    )
+
+
+def test_oph_empty_rows_deterministic_and_equal():
+    from lshdedup.hashing import oph_signatures
+
+    sig = oph_signatures(np.empty(0, dtype=np.uint64), np.array([0, 0]), 128, seed=1)
+    assert np.array_equal(sig[0], sig[1])  # two empty docs are identical
+    assert (sig < np.uint64(1 << 62)).all()

@@ -159,3 +159,32 @@ def test_skew_report_and_bytes_pruned(spark, result, tmp_path):
     for schema in schemas:
         assert "bytes" not in schema, schema
         assert "fmt" not in schema, schema  # only id/caption/phash travel
+
+
+# ------------------- OPH (scale-path signature scheme) -------------------
+def test_oph_recall_and_determinism(spark, corpus):
+    """The one-permutation-hashing scheme must clear the same ≥0.99
+    dup-pair recall bar as the k-permutation parity path, and stay
+    partitioning-invariant."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, sig_scheme="oph")
+    res = dedup_pipeline(spark, corpus, cfg)
+    cmap = _cluster_map(res)
+    oracle = dup_pairs_brute_force(corpus, cfg).collect()
+    assert len(oracle) > 20
+    hit = sum(1 for r in oracle if cmap[r["id_a"]] == cmap[r["id_b"]])
+    assert hit / len(oracle) >= 0.99
+    # determinism under partitioning
+    small = synth_corpus(spark, SynthConfig(n_rows=160)).cache()
+    small.count()
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_pipeline(spark, small.repartition(2), cfg).dup_pairs.collect()
+    }
+    p16 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_pipeline(spark, small.repartition(16), cfg).dup_pairs.collect()
+    }
+    assert p2 == p16
+    small.unpersist()
