@@ -252,6 +252,49 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup (training-data extra): word BIGRAM sets,
+    J ≥ 0.3 pairs over docs 0..299, integer arithmetic only."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    sets = d.select("doc_id", grams.alias("g")).filter(F.size("g") > 0)
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size(F.array_union("ga", "gb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(10 * F.col("inter") >= 3 * F.col("uni"))
+    )
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the verification oracle of
+    the SRP scale path): all pairs with cosine ≥ 0.4."""
+    from lshdedup.ann import cosine_expr
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---- non-SQL-expressible (seeded-hash / iterative) → rows-only checks ----
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lshdedup.minhash import add_signatures
@@ -314,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_profile": q_shingle_profile,
         "shingle_weights": q_shingle_weights,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "word_bigram_jaccard": q_word_bigram_jaccard,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
         "exact_dup_clusters": q_exact_dup_clusters,
         "token_stats": q_token_stats,
@@ -454,6 +499,41 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_pred
             FROM s
+        """,
+        "word_bigram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 300
+            ),
+            b AS (
+              SELECT DISTINCT doc_id, g
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])) AS g
+                    FROM t WHERE len(w) >= 2)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+            i AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+              FROM b x JOIN b y USING (g)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, c::INT AS inter,
+                   (sa.n + sb.n - c)::INT AS uni
+            FROM i
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE 10*c >= 3*(sa.n + sb.n - c)
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """

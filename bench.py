@@ -113,10 +113,27 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     }
 
 
-def run_pipeline_only(cpus: int, n_images: int) -> dict:
+def write_synth_corpus(n_images: int, path: str, cpus: int = 0) -> None:
+    """Materialize the deterministic corpus once (all cores) so both scaling
+    runs read byte-identical input and generation cost is outside timing."""
+    from lshdedup.session import get_spark
+    from lshdedup.synth import SynthConfig, synth_corpus
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="lshdedup-synth", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_corpus(spark, SynthConfig(n_rows=n_images), partitions=128).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def run_pipeline_only(cpus: int, n_images: int, input_path: str | None = None) -> dict:
     """Time ONLY the flagship pipeline on a fixed deterministic corpus —
     the scaling-efficiency measurement (north rule: same job at N and 4N
-    parallelism; here local[8] vs local[32] on one machine)."""
+    parallelism on one machine, identical input and partitioning)."""
     import time as _time
 
     from lshdedup.config import DedupConfig
@@ -132,9 +149,12 @@ def run_pipeline_only(cpus: int, n_images: int) -> dict:
         shuffle_partitions=64,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = synth_corpus(
-        spark, SynthConfig(n_rows=n_images), partitions=128
-    ).persist()
+    if input_path:
+        corpus = spark.read.parquet(input_path).repartition(128).persist()
+    else:
+        corpus = synth_corpus(
+            spark, SynthConfig(n_rows=n_images), partitions=128
+        ).persist()
     n = corpus.count()
     cfg = DedupConfig(
         threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
@@ -163,11 +183,20 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
     is within the machine's real headroom when measuring engine efficiency.
     """
     import subprocess
+    import tempfile
 
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"lshdedup_scale_corpus_{n_images}.parquet"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        write_synth_corpus(n_images, corpus_path)
     results = {}
     for cpus in (lo, hi):
         out = subprocess.run(
-            [sys.executable, __file__, "--pipeline-only", str(cpus), str(n_images)],
+            [
+                sys.executable, __file__, "--pipeline-only",
+                str(cpus), str(n_images), corpus_path,
+            ],
             capture_output=True,
             text=True,
             check=True,
@@ -188,7 +217,8 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
-        print(json.dumps(run_pipeline_only(int(sys.argv[2]), int(sys.argv[3]))))
+        path = sys.argv[4] if len(sys.argv) > 4 else None
+        print(json.dumps(run_pipeline_only(int(sys.argv[2]), int(sys.argv[3]), path)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 48_000
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
