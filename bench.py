@@ -147,6 +147,7 @@ def run_pipeline_only(cpus: int, n_images: int, input_path: str | None = None) -
         app_name=f"lshdedup-scale-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=64,
+        extra={"spark.driver.memory": os.environ.get("LSHDEDUP_DRIVER_MEM", "24g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
     if input_path:
@@ -199,8 +200,12 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
             ],
             capture_output=True,
             text=True,
-            check=True,
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"pipeline-only cpus={cpus} exited {out.returncode}"
+            )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     t_lo = results[lo]["wall_sec"]
     t_hi = results[hi]["wall_sec"]

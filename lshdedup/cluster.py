@@ -44,9 +44,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for it in range(max_iter):
-        # every vertex receives its neighbors' current labels
+        # every vertex receives its neighbors' current labels.  The labels
+        # table changes every round and scales with the vertex count —
+        # broadcasting it is wrong at scale and can exhaust the driver
+        # (observed at 384k rows in local mode), so force a shuffle join.
         msgs = (
-            sym.join(labels, sym.v == labels.id)
+            sym.join(labels.hint("shuffle_hash"), sym.v == labels.id)
             .select(F.col("u").alias("id"), F.col("cluster_id"))
         )
         new_labels = (
@@ -59,7 +62,7 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
-                .join(labels.alias("o"), "id")
+                .join(labels.alias("o").hint("shuffle_hash"), "id")
                 .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .limit(1)
                 .count()
