@@ -334,6 +334,29 @@ def q_wminhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wminhash_set_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based weighted MinHash (weight_minhash.h:173-243) over word-count
+    maps, with content-derived positions instead of the reference's
+    order-dependent global map."""
+    from lshdedup.wminhash import wminhash_set_udf
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("int").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tok"), F.col("w")))
+            ).alias("wmap")
+        )
+    )
+    return counts.select(
+        "doc_id", wminhash_set_udf(4096, 128)(F.col("wmap")).alias("wmh_sig")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs (ann.py scale path)."""
     from lshdedup.ann import embedding_near_dup_pairs
@@ -372,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "wminhash_signatures": q_wminhash_signatures,
+        "wminhash_set_signatures": q_wminhash_set_signatures,
         "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprints": q_rolling_fingerprints,
     }

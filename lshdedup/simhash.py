@@ -31,14 +31,22 @@ def simhash_batch(texts: list[bytes], k: int) -> np.ndarray:
     flat, bounds = char_shingle_hashes(texts, k)
     if flat.size == 0:
         return np.zeros(n, dtype=np.int64)
+    g = flat.size
     shifts = np.arange(64, dtype=np.uint64)
-    # (n_grams, 64) ±1 votes; int8 keeps it at n_grams*64 bytes
-    bits = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) << 1) - 1
+    # worker-persistent scratch (see hashing.scratch): ±1 vote matrix with a
+    # zero sentinel row so every reduceat index stays < len
+    from lshdedup.hashing import scratch
+
+    bits_u = scratch("sh_bits", (g, 64))
+    np.right_shift(flat[:, None], shifts[None, :], out=bits_u)
+    np.bitwise_and(bits_u, np.uint64(1), out=bits_u)
+    votes = scratch("sh_votes", (g + 1, 64), np.int32)
+    np.copyto(votes[:g], bits_u, casting="unsafe")
+    np.multiply(votes[:g], 2, out=votes[:g])
+    np.subtract(votes[:g], 1, out=votes[:g])
+    votes[g] = 0
     idx = bounds.reshape(-1)
-    # guard: reduceat indices must be < len; bounds ends are <= n_grams
-    sentinel = np.zeros((1, 64), dtype=np.int8)
-    padded = np.concatenate([bits, sentinel], axis=0)
-    sums = np.add.reduceat(padded.astype(np.int32), idx, axis=0)[::2]
+    sums = np.add.reduceat(votes, idx, axis=0)[::2]
     sign = (sums > 0).astype(np.uint64)
     packed = np.zeros(n, dtype=np.uint64)
     for j in range(64):

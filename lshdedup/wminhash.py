@@ -112,6 +112,48 @@ def wminhash_udf(dim: int, sample_size: int, seed: int = 1):
     return wmh
 
 
+def weights_to_dense(weights: dict, dim: int, seed: int = 1) -> np.ndarray:
+    """Project a {token: weight} map onto a dense dim-vector by CONTENT-
+    derived position hash(token) mod dim (collisions sum).
+
+    This replaces the reference's set-based WeightMinHash position map
+    (weight_minhash.h:186-188), which assigns positions by encounter order —
+    order-dependent and irreproducible under partitioning; the reference's
+    own TODO (lsh_cosine_similarity.h:12-23) calls for exactly this fix.
+    """
+    from lshdedup.hashing import fnv1a_bytes
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok, w in weights.items():
+        v[fnv1a_bytes(str(tok).encode("utf-8"), seed) % dim] += float(w)
+    return v
+
+
+def wminhash_set(weights: dict, dim: int, sample_size: int, seed: int = 1):
+    """CWS signature of a sparse {token: weight} map (set-based variant,
+    weight_minhash.h:173-243) via the content-derived dense projection."""
+    return wminhash_dense(weights_to_dense(weights, dim, seed), dim, sample_size, seed)
+
+
+def wminhash_set_udf(dim: int, sample_size: int, seed: int = 1):
+    """pandas UDF: map<string,int> token weights → array<long> packed CWS
+    signature (null for empty/all-zero maps)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def wmh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            out = []
+            for m in batch:
+                if not m:
+                    out.append(None)
+                    continue
+                sig = wminhash_set(dict(m), dim, sample_size, seed)
+                out.append(None if sig is None else list(sig))
+            yield pd.Series(out, dtype=object)
+
+    return wmh
+
+
 def generalized_jaccard_expr(a, b):
     """Native Σmin/Σmax on two equal-length array columns — the exact
     oracle as a codegen expression (zip_with + aggregate)."""

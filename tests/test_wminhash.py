@@ -82,3 +82,28 @@ def test_spark_udf_and_expr(spark):
     exact = generalized_jaccard(np.array(DATA1), np.array(DATA2))
     assert rows[0]["gj"] == pytest.approx(exact)
     assert rows[1]["sig_a"] is None
+
+
+def test_set_variant_order_independent_and_tracks_oracle():
+    """Content-derived positions: identical maps in any insertion order give
+    identical signatures (the reference's encounter-order position map does
+    NOT — weight_minhash.h:165-168); estimate tracks generalized Jaccard."""
+    import numpy as np
+
+    from lshdedup.wminhash import (
+        generalized_jaccard_maps,
+        wminhash_estimate,
+        wminhash_set,
+    )
+
+    m1 = {"alpha": 3.0, "beta": 1.0, "gamma": 2.0}
+    m2 = dict(reversed(list(m1.items())))
+    assert np.array_equal(wminhash_set(m1, 512, 64), wminhash_set(m2, 512, 64))
+
+    ma = {f"t{i}": float(i % 5 + 1) for i in range(40)}
+    mb = {f"t{i}": float(i % 5 + 1) for i in range(20, 60)}
+    est = wminhash_estimate(
+        wminhash_set(ma, 2048, 256), wminhash_set(mb, 2048, 256)
+    )
+    exact = generalized_jaccard_maps(ma, mb)
+    assert abs(est - exact) < 0.12, (est, exact)
