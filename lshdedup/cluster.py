@@ -24,7 +24,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex appearing in ``edges``.
 
@@ -50,28 +50,40 @@ def connected_components(
         # (observed at 384k rows in local mode), so force a shuffle join.
         msgs = (
             sym.join(labels.hint("shuffle_hash"), sym.v == labels.id)
-            .select(F.col("u").alias("id"), F.col("cluster_id"))
+            .select(
+                F.col("u").alias("id"),
+                F.col("cluster_id"),
+                F.lit(None).cast("string").alias("_prev"),
+            )
+        )
+        # carry each vertex's previous label through the min-agg so the
+        # convergence check is a filter on the materialized result —
+        # no second join / shuffle per check
+        own = labels.select(
+            "id", "cluster_id", F.col("cluster_id").cast("string").alias("_prev")
         )
         new_labels = (
-            labels.select("id", "cluster_id")
-            .union(msgs)
+            own.union(msgs)
             .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("_prev").alias("_prev"),
+            )
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
             new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o").hint("shuffle_hash"), "id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                new_labels.filter(
+                    F.col("cluster_id").cast("string") != F.col("_prev")
+                )
                 .limit(1)
                 .count()
             )
-            labels = new_labels
+            labels = new_labels.drop("_prev")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.drop("_prev")
     return labels
 
 
