@@ -188,3 +188,32 @@ def test_oph_recall_and_determinism(spark, corpus):
     }
     assert p2 == p16
     small.unpersist()
+
+
+def test_degenerate_identical_corpus(spark):
+    """5000 byte-identical rows: exact-dup collapse must reduce LSH input to
+    ONE representative (no m^2 bucket blowup) and CC must yield one cluster."""
+    from pyspark.sql import functions as F
+
+    one = synth_corpus(spark, SynthConfig(n_rows=1)).collect()[0]
+    df = (
+        spark.range(5000)
+        .select(
+            F.format_string("img%010d", F.col("id")).alias("image_id"),
+            F.lit(bytes(one["bytes"])).alias("bytes"),
+            F.lit(one["w"]).alias("w"),
+            F.lit(one["h"]).alias("h"),
+            F.lit(one["fmt"]).alias("fmt"),
+            F.lit(one["caption"]).alias("caption"),
+            F.lit(one["phash"]).alias("phash"),
+        )
+    )
+    res = dedup_pipeline(spark, df, CFG)
+    # all 5000 rows in one cluster, labeled by the min id
+    dist = res.clusters.agg(
+        F.countDistinct("cluster_id").alias("k"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert (dist["k"], dist["n"]) == (1, 5000)
+    # LSH saw exactly one representative -> zero candidate pairs needed
+    assert res.candidates.count() == 0
+    assert res.skew_report.count() == 0
