@@ -255,15 +255,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard dedup (training-data extra): word BIGRAM sets,
     J ≥ 0.3 pairs over docs 0..299, integer arithmetic only."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     toks = F.split("text", " ")
+    # guard BEFORE building grams: a 1-token doc makes sequence(0, -1)
+    # auto-step -1 → element_at(toks, 0) → INVALID_INDEX_OF_ZERO.  Mirrors
+    # the oracle's len(w) >= 2.
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 300) & (F.size(toks) >= 2))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
             lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
         )
     )
-    sets = d.select("doc_id", grams.alias("g")).filter(F.size("g") > 0)
+    sets = d.select("doc_id", grams.alias("g"))
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -278,7 +281,12 @@ def q_word_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (the verification oracle of
-    the SRP scale path): all pairs with cosine ≥ 0.4."""
+    the SRP scale path): all pairs with cosine ≥ 0.4.
+
+    Threshold-boundary safety: the nearest attainable cosine to 0.4 in the
+    sf0.01 fixture is 0.399872 (margin 1.28e-4, measured), so float
+    summation-order differences between Spark and DuckDB (≲1e-12) cannot
+    flip any pair's inclusion."""
     from lshdedup.ann import cosine_expr
 
     e = _emb(spark, sf_dir).select(
@@ -295,13 +303,18 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- non-SQL-expressible (seeded-hash / iterative) → rows-only checks ----
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kperm MinHash signatures, exploded to (doc_id, lane, sig_value) so the
+    driver canonicalizer can sort/hash scalar columns — AND so DuckDB can
+    verify every lane value exactly (the FNV-1a element hash + the PCG64
+    permutation table are re-expressed in the oracle SQL; see
+    _minhash_oracle_sql)."""
     from lshdedup.minhash import add_signatures
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return add_signatures(d, DOC_CFG, text_col="text", phash_col="_none_").select(
-        "doc_id", "sig"
+    signed = add_signatures(d, DOC_CFG, text_col="text", phash_col="_none_")
+    return signed.select(
+        "doc_id", F.posexplode("sig").alias("lane", "sig_value")
     )
 
 
@@ -324,13 +337,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wminhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted MinHash (weight_minhash.h) over embedding magnitudes."""
+    """Weighted MinHash (weight_minhash.h) over embedding magnitudes.
+    Output is the canonicalizable fingerprint shape (seeded gamma draws are
+    not SQL-expressible → rows-only check; values pinned in
+    tests/test_wminhash.py against the Σmin/Σmax oracle)."""
     from lshdedup.wminhash import wminhash_udf
 
     e = _emb(spark, sf_dir)
     absvec = F.transform(F.col("embedding"), lambda x: F.abs(x))
-    return e.select(
-        "vec_id", wminhash_udf(64, 128)(absvec).alias("wmh_sig")
+    sig = e.select("vec_id", wminhash_udf(64, 128)(absvec).alias("wmh_sig"))
+    return sig.select(
+        "vec_id",
+        F.xxhash64("wmh_sig").alias("sig_fp"),
+        F.coalesce(F.size("wmh_sig"), F.lit(-1)).alias("n_lanes"),
     )
 
 
@@ -352,8 +371,13 @@ def q_wminhash_set_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wmap")
         )
     )
-    return counts.select(
+    sig = counts.select(
         "doc_id", wminhash_set_udf(4096, 128)(F.col("wmap")).alias("wmh_sig")
+    )
+    return sig.select(
+        "doc_id",
+        F.xxhash64("wmh_sig").alias("sig_fp"),
+        F.coalesce(F.size("wmh_sig"), F.lit(-1)).alias("n_lanes"),
     )
 
 
@@ -404,6 +428,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracles --
 def _sw_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_W64 = "18446744073709551616::HUGEINT"  # 2^64
+_P61 = "2305843009213693951::HUGEINT"   # 2^61-1 (hash.h:25-27)
+
+
+def _fnv_sql(text_col: str, pos: str, k: int) -> str:
+    """FNV-1a 64 over the k ASCII bytes of ``text_col`` starting at 1-based
+    ``pos`` — the element hash of hashing.fnv1a_windows, unrolled in SQL.
+    Valid for ASCII text with length >= k (the driver fixture guarantees
+    both; the <k whole-string-padding path of char_shingle_hashes never
+    fires there)."""
+    h = "14695981039346656037::HUGEINT"  # FNV offset basis
+    for j in range(k):
+        byte = f"ascii(substr({text_col}, {pos}+{j}, 1))::HUGEINT"
+        h = f"((xor({h}, {byte}) * 1099511628211::HUGEINT) % {_W64})"
+    return h
+
+
+def _minhash_oracle_sql() -> str:
+    """Value-level DuckDB oracle for the kperm MinHash signatures: the
+    PCG64-drawn permutation table (hashing.generate_permutations) is inlined
+    as literals, the FNV-1a element hash is unrolled, and each lane is
+    min((a*h mod 2^64 + b) mod 2^64 mod 2^61-1) over the doc's grams —
+    exactly minhash_segments (reference semantics minhash.h:135-169)."""
+    from lshdedup.hashing import generate_permutations
+
+    a, b = generate_permutations(DOC_CFG.n_perm, DOC_CFG.seed)
+    rows = ", ".join(
+        f"({i}, {int(ai)}::BIGINT, {int(bi)}::BIGINT)"
+        for i, (ai, bi) in enumerate(zip(a.tolist(), b.tolist()))
+    )
+    fnv = _fnv_sql("text", "i", DOC_CFG.k)
+    return f"""
+        WITH gh AS (
+          SELECT doc_id, {fnv} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text)-{DOC_CFG.k}+2)) AS i
+                FROM documents)
+        ),
+        perms(lane, pa, pb) AS (VALUES {rows})
+        SELECT doc_id, lane::INT AS lane,
+               min((((pa::HUGEINT * h) % {_W64} + pb::HUGEINT) % {_W64})
+                   % {_P61})::BIGINT AS sig_value
+        FROM gh CROSS JOIN perms
+        GROUP BY doc_id, lane
+    """
+
+
+def _dedup_clusters_oracle_sql(grams: str) -> str:
+    """Connected components of the exact char-5-gram J>=0.8 pair graph via a
+    recursive reachability CTE; cluster_id = min doc_id of the component
+    (singletons = self).  The pipeline's LSH banding at DOC_CFG is aggressive
+    enough that its verified pair set equals this exact pair set (pinned by
+    the green lsh_dedup_pairs row)."""
+    return f"""
+        WITH RECURSIVE {grams.split("WITH", 1)[1]},
+        d AS (SELECT DISTINCT doc_id, gr FROM g),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        i AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM d a JOIN d b USING (gr)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT id_a, id_b
+          FROM i
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE 5*c >= 4*(sa.n + sb.n - c)
+        ),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM p),
+        lab AS (
+          SELECT doc_id AS id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.u AS id, lab.lab AS lab
+          FROM lab JOIN e ON e.v = lab.id
+        )
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM lab GROUP BY id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -559,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
+        "minhash_signatures": _minhash_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(grams),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """
             SELECT lang, count(*)::BIGINT AS n_docs,
