@@ -30,9 +30,17 @@ class DedupConfig:
     # --- minhash (minhash.h) ---
     n_perm: int = 128             # n_permutation default [minhash.h:85]
     seed: int = 1                 # RandomHashPermutation seed [minhash.h:58]
-    minhash_bits: int = 64        # 32 folds via % 2^31-1 [hash.h:52-84]
-    sig_scheme: str = "kperm"     # "kperm" (reference parity) | "oph" (scale
-                                  # path: one-permutation hashing, O(n_grams))
+    minhash_bits: int = 64        # 32 = reference MinHashBits=32: element hash
+                                  # folds % 2^31-1 [hash.h:52-60] AND signature
+                                  # values mask & 0xFFFFFFFF per element
+                                  # [minhash.h:144-146]; consumed by minhash.py
+    sig_scheme: str = "kperm"     # "kperm"     — classic 128-perm, PCG64 table,
+                                  #               FNV elements (documented deviation)
+                                  # "kperm-ref" — BIT-EXACT reference parity:
+                                  #               mt19937_64+libstdc++ table,
+                                  #               XXH64 elements (refrng.py)
+                                  # "oph"       — one-permutation hashing (scale
+                                  #               path, O(n_grams))
 
     # --- LSH banding (lsh.h) ---
     threshold: float = 0.7        # candidate-verify threshold [dna_benchmark.h:29]

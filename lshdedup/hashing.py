@@ -125,6 +125,7 @@ def minhash_segments(
     a: np.ndarray,
     b: np.ndarray,
     block: int = 16,
+    vmask: int | None = None,
 ) -> np.ndarray:
     """MinHash signatures for variable-length segments of a flat hash array.
 
@@ -139,6 +140,11 @@ def minhash_segments(
     MinHash::update over a set (minhash.h:153-169, init-to-max :113).
     Duplicate elements cannot change a min, so weighted shingle multisets
     (k_shingles.h:82) need no dedup here.
+
+    vmask: optional per-ELEMENT value mask applied after the mod — the
+    reference's MinHashBits=32 stores ``(x mod p) & 0xFFFFFFFF`` per element
+    BEFORE the min (minhash.h:144-146), which changes which element wins,
+    so the mask cannot be applied to the reduced signature.
     """
     n_rows = bounds.shape[0]
     n_perm = a.shape[0]
@@ -159,13 +165,19 @@ def minhash_segments(
         np.multiply(a[s : s + blk, None], h[None, :], out=t)  # wraps mod 2^64
         np.add(t, b[s : s + blk, None], out=t)
         np.mod(t, _P61, out=t)
+        if vmask is not None:
+            np.bitwise_and(t, U64(vmask), out=t)
         red = np.minimum.reduceat(t, idx, axis=1)
         out[:, s : s + blk] = red[:, ::2].T
     return out
 
 
 def minhash_fixed(
-    hashes: np.ndarray, a: np.ndarray, b: np.ndarray, block: int = 16
+    hashes: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    block: int = 16,
+    vmask: int | None = None,
 ) -> np.ndarray:
     """MinHash over a fixed-width (n_rows, m) hash matrix (e.g. the 16
     pHash windows per image).  Same math as minhash_segments."""
@@ -179,11 +191,15 @@ def minhash_fixed(
         np.multiply(h[:, :, None], a[s : s + blk][None, None, :], out=t)
         np.add(t, b[s : s + blk][None, None, :], out=t)
         np.mod(t, _P61, out=t)
+        if vmask is not None:
+            np.bitwise_and(t, U64(vmask), out=t)
         out[:, s : s + blk] = t.min(axis=1)
     return out
 
 
-def char_shingle_hashes(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
+def char_shingle_hashes(
+    texts: list[bytes], k: int, hasher=None
+) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte sliding-window hashes for a batch of byte strings.
 
     Re-expresses split_k_shingling_fast (k_shingles.h:67-85) without
@@ -204,7 +220,7 @@ def char_shingle_hashes(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndar
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     windows = np.lib.stride_tricks.sliding_window_view(buf, k) if buf.size >= k else buf[None, :]
-    flat = fnv1a_windows(windows)
+    flat = (hasher or fnv1a_windows)(windows)
     starts = offs[:-1]
     ends = offs[:-1] + (lens - k + 1)  # grams fully inside the row
     return flat, np.stack([starts, ends], axis=1)

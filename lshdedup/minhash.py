@@ -41,8 +41,39 @@ from lshdedup.hashing import (
 
 
 @lru_cache(maxsize=8)
-def _perms(n_perm: int, seed: int):
+def _perms(n_perm: int, seed: int, scheme: str = "kperm"):
+    """(a, b) permutation table.  "kperm" draws from PCG64 (documented
+    deviation, SURVEY §7.4); "kperm-ref" reproduces the reference's
+    mt19937_64 + libstdc++ uniform_int_distribution draw bit-exactly
+    (refrng.ref_permutations, pinned against a compiled-C++ golden)."""
+    if scheme == "kperm-ref":
+        from lshdedup.refrng import ref_permutations
+
+        return ref_permutations(n_perm, seed)
     return generate_permutations(n_perm, seed)
+
+
+def _scheme_knobs(cfg: DedupConfig):
+    """(hasher, elem_mod, vmask) for the kperm family.
+
+    hasher   — window hash: FNV-1a ("kperm") or XXH64 seed 0 ("kperm-ref",
+               the reference's element hash, hash.h:14-21);
+    elem_mod — element-hash fold % 2^31-1 when minhash_bits=32
+               (XXStringViewHash32, hash.h:52-60);
+    vmask    — per-element signature mask & 0xFFFFFFFF when minhash_bits=32
+               (minhash.h:144-146).
+    """
+    if cfg.sig_scheme == "kperm-ref":
+        from lshdedup.refrng import xxh64_windows
+
+        hasher = lambda w: xxh64_windows(w, 0)  # noqa: E731
+    else:
+        hasher = None  # fnv1a_windows default
+    from lshdedup.config import MERSENNE_31
+
+    elem_mod = MERSENNE_31 if cfg.minhash_bits == 32 else None
+    vmask = 0xFFFFFFFF if cfg.minhash_bits == 32 else None
+    return hasher, elem_mod, vmask
 
 
 def _sig_to_series(sig: np.ndarray) -> pd.Series:
@@ -58,15 +89,18 @@ def caption_signature_udf(cfg: DedupConfig):
     (hash.h:89-141) + MinHash::update (minhash.h:153-169) into one
     vectorized pass per Arrow batch.
     """
-    k, n_perm, seed = cfg.k, cfg.n_perm, cfg.seed
+    k, n_perm, seed, scheme = cfg.k, cfg.n_perm, cfg.seed, cfg.sig_scheme
+    hasher, elem_mod, vmask = _scheme_knobs(cfg)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        a, b = _perms(n_perm, seed)
+        a, b = _perms(n_perm, seed, scheme)
         for batch in texts:
             raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
-            flat, bounds = char_shingle_hashes(raw, k)
-            out = minhash_segments(flat, bounds, a, b)
+            flat, bounds = char_shingle_hashes(raw, k, hasher)
+            if elem_mod is not None:
+                flat = flat % np.uint64(elem_mod)
+            out = minhash_segments(flat, bounds, a, b, vmask=vmask)
             yield _sig_to_series(out)
 
     return sig
@@ -80,11 +114,11 @@ def token_hash_signature_udf(cfg: DedupConfig):
     applied on top so the JVM hash's seed choice can't correlate with the
     permutation family.
     """
-    n_perm, seed = cfg.n_perm, cfg.seed
+    n_perm, seed, scheme = cfg.n_perm, cfg.seed, cfg.sig_scheme
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hash_arrays: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        a, b = _perms(n_perm, seed)
+        a, b = _perms(n_perm, seed, scheme)
         for batch in hash_arrays:
             lens = np.fromiter((len(v) for v in batch), count=len(batch), dtype=np.int64)
             lens = np.maximum(lens, 1)
@@ -106,16 +140,19 @@ def phash_signature_udf(cfg: DedupConfig):
     """pandas UDF: int64 pHash → array<long> signature over its
     bit-window shingles (graft image path; window scheme in
     hashing.phash_window_hashes)."""
-    n_perm, seed = cfg.n_perm, cfg.seed
+    n_perm, seed, scheme = cfg.n_perm, cfg.seed, cfg.sig_scheme
     wbits, step = cfg.phash_window_bits, cfg.phash_window_step
+    _, elem_mod, vmask = _scheme_knobs(cfg)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(phashes: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        a, b = _perms(n_perm, seed)
+        a, b = _perms(n_perm, seed, scheme)
         for batch in phashes:
             ph = batch.fillna(0).to_numpy(dtype=np.int64)
             wins = phash_window_hashes(ph, wbits, step)
-            out = minhash_fixed(wins, a, b)
+            if elem_mod is not None:
+                wins = wins % np.uint64(elem_mod)
+            out = minhash_fixed(wins, a, b, vmask=vmask)
             yield _sig_to_series(out)
 
     return sig

@@ -1,0 +1,199 @@
+"""Bit-exact reference parity (refrng.py + sig_scheme="kperm-ref").
+
+Evidence chain:
+  1. mt19937_64 + libstdc++ uniform_int_distribution draws pinned against
+     tests/fixtures/ref_rng_golden.json, captured by COMPILING AND RUNNING
+     tools/capture_ref_rng.cpp with the system g++ 12 — the exact
+     RandomHashPermutation recipe (reference minhash.h:25-67, seed 1).
+  2. XXH64 pinned against the published empty-string vector and
+     cross-validated against Spark's independent JVM implementation
+     (seed 42) across lengths covering the stripe and tail paths.
+  3. The reference's test_lsh_minhash fixture (test.h:110-138) reproduced
+     end-to-end with the default template config (XXStringViewHash32,
+     MinHashBits=32, n_permutation=128, Seed=1): signatures, band keys
+     (XXUInt64Hash64 over raw bytes, lsh.h:112-124), and the LSH candidate
+     set are computed and PINNED — deterministic forever at this config.
+  4. The Spark kperm-ref UDF path equals the straightforward per-document
+     reference math on real corpus text.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshdedup.config import MERSENNE_31, DedupConfig
+from lshdedup.refrng import (
+    MT19937_64,
+    ref_band_hashes,
+    ref_element_hash,
+    ref_lsh_query,
+    ref_minhash_from_hashes,
+    ref_minhash_wordset,
+    ref_permutations,
+    uniform_int_u64,
+    xxh64,
+    xxh64_windows,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "ref_rng_golden.json")
+
+# test.h:110-138 word sets, verbatim fixture data
+DATA_1 = ["minhash", "is", "a", "probabilistic", "data", "structure", "for",
+          "estimating", "the", "similarity", "between", "datasets"]
+DATA_2 = ["minhash", "is", "a", "probability", "data", "structure", "for",
+          "estimating", "the", "similarity", "between", "documents"]
+DATA_3 = ["minhash", "is", "probability", "data", "structure", "for",
+          "estimating", "the", "similarity", "between", "documents"]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+def test_mt19937_64_matches_compiled_libstdcxx(golden):
+    gen = MT19937_64(golden["seed"])
+    assert [gen() for _ in range(len(golden["mt19937_64_raw"]))] == golden[
+        "mt19937_64_raw"
+    ]
+
+
+def test_permutation_table_matches_compiled_libstdcxx(golden):
+    a, b = ref_permutations(128, golden["seed"])
+    assert a.tolist() == golden["vector_a"]
+    assert b.tolist() == golden["vector_b"]
+    # distribution ranges (minhash.h:60-61)
+    p = golden["mersenne_prime"]
+    assert a.min() >= 1 and a.max() <= p - 1
+    assert b.min() >= 0 and b.max() <= p - 1
+
+
+def test_uniform_int_draw_small_range_sanity():
+    gen = MT19937_64(7)
+    draws = [uniform_int_u64(gen, 0, 9) for _ in range(1000)]
+    assert set(draws) == set(range(10))
+
+
+def test_xxh64_public_vector():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+def test_xxh64_windows_equals_scalar():
+    rng = np.random.default_rng(0)
+    for k in (1, 4, 5, 8, 13, 31, 40):
+        w = rng.integers(0, 256, size=(17, k), dtype=np.uint8)
+        assert (
+            xxh64_windows(w, 0)
+            == np.array([xxh64(bytes(r), 0) for r in w], dtype=np.uint64)
+        ).all()
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Spark's xxhash64 is an independent, battle-tested XXH64 (seed 42)."""
+    rng = np.random.default_rng(7)
+    datas = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+             for n in (0, 1, 4, 7, 8, 15, 31, 32, 33, 64, 100, 1000)]
+    df = spark.createDataFrame(
+        [(i, bytearray(d)) for i, d in enumerate(datas)], "i int, b binary"
+    )
+    got = {r["i"]: r["h"] & 0xFFFFFFFFFFFFFFFF
+           for r in df.select("i", F.xxhash64("b").alias("h")).collect()}
+    for i, d in enumerate(datas):
+        assert got[i] == xxh64(d, 42), i
+
+
+def _exact_jaccard(a, b):
+    a, b = set(a), set(b)
+    return len(a & b) / len(a | b)
+
+
+def test_ref_fixture_signatures_and_estimates():
+    """test.h:110-138 with the default MinHash template: estimator lands
+    within 3σ of exact Jaccard, and the full m1 signature is pinned."""
+    m1 = ref_minhash_wordset(DATA_1)
+    m2 = ref_minhash_wordset(DATA_2)
+    m3 = ref_minhash_wordset(DATA_3)
+    assert m1.shape == (128,) and m1.max() <= 0xFFFFFFFF
+    for ma, da, mb, db in ((m1, DATA_1, m2, DATA_2), (m1, DATA_1, m3, DATA_3)):
+        est = float(np.mean(ma == mb))
+        exact = _exact_jaccard(da, db)
+        assert abs(est - exact) <= 3 * np.sqrt(exact * (1 - exact) / 128) + 1e-9
+    # pinned prefix of m1 (deterministic at this config forever; computed by
+    # this validated implementation and frozen to catch regressions)
+    assert m1[:6].tolist() == _PINNED_M1_PREFIX
+
+
+def test_ref_fixture_lsh_candidate_set():
+    """LSH(threshold=0.7, weights={0.5,0.5}) over n_perm=128 → optimal
+    (b, r); insert m2, m3; query m1 (lsh.h:112-159).  Candidate set and
+    band-key layout pinned."""
+    from lshdedup.params import optimal_params
+
+    b, r = optimal_params(128, 0.7, 0.5, 0.5)
+    m1 = ref_minhash_wordset(DATA_1)
+    m2 = ref_minhash_wordset(DATA_2)
+    m3 = ref_minhash_wordset(DATA_3)
+    keys = ref_band_hashes(m1, b, r)
+    assert len(keys) == b and len(set(keys)) >= 1
+    got = ref_lsh_query(m1, {"m2": m2, "m3": m3}, b, r)
+    assert got == _PINNED_QUERY_RESULT
+
+
+def test_kperm_ref_spark_path_equals_reference_math(spark):
+    """The fused Spark UDF (char shingles → XXH64 → 32-bit-folded kperm
+    signature) equals the straightforward per-document reference math."""
+    from lshdedup.minhash import add_signatures
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over a lazy dog",
+        "completely different content here with no overlap at all",
+        "aa",  # shorter than k → single whole-string (padded) shingle
+        "",
+    ]
+    cfg = DedupConfig(k=5, n_perm=128, seed=1, sig_scheme="kperm-ref",
+                      minhash_bits=32, use_phash=False)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: r["sig"]
+        for r in add_signatures(df, cfg, text_col="text", phash_col="_none_").collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        if len(raw) < 5:  # the UDF's <k padding convention
+            shingles = {raw + b"\x00" * (5 - len(raw))}
+        else:
+            shingles = {raw[j : j + 5] for j in range(len(raw) - 4)}
+        hs = np.fromiter(
+            (ref_element_hash(s, 32) for s in shingles), dtype=np.uint64
+        )
+        expect = ref_minhash_from_hashes(hs, 128, 1, 32)
+        assert np.asarray(got[i], dtype=np.int64).tolist() == expect.astype(np.int64).tolist(), i
+
+
+def test_elem_fold_and_vmask_change_results():
+    """MinHashBits=32 semantics: the per-element fold/mask must change which
+    element wins vs masking the reduced 64-bit signature (minhash.h:144-146
+    ordering is load-bearing)."""
+    hs = np.fromiter((ref_element_hash(w.encode(), 32) for w in set(DATA_1)),
+                     dtype=np.uint64)
+    sig32 = ref_minhash_from_hashes(hs, 128, 1, 32)
+    hs64 = np.fromiter((ref_element_hash(w.encode(), 64) for w in set(DATA_1)),
+                       dtype=np.uint64)
+    sig64 = ref_minhash_from_hashes(hs64, 128, 1, 64)
+    assert not np.array_equal(sig32, sig64 & np.uint64(0xFFFFFFFF))
+    assert (sig32 <= 0xFFFFFFFF).all()
+
+
+# Pinned constants: computed once with the golden-validated implementation,
+# frozen so any regression in mt19937_64 / distribution / xxh64 / fold order
+# changes a value here and fails loudly.  At this config the estimates are
+# est(m1,m2)=0.6640625 (exact 10/14) and est(m1,m3)=0.59375 (exact 9/14);
+# with (b,r)=(14,9) no band of m1 collides with m2 or m3, so the reference's
+# query returns the empty set — a bit-exact property, not a bug.
+_PINNED_M1_PREFIX = [557099689, 114169224, 16587347, 370299435, 181140127, 14488485]
+_PINNED_QUERY_RESULT: set = set()
