@@ -64,6 +64,7 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     queries["image_dedup"] = time.perf_counter() - t0
     images_per_sec = n_actual / queries["image_dedup"]
+    res.unpersist()  # release pipeline caches (sized/signed/candidates)
     corpus.unpersist()
 
     # --- doc_signatures: hot-path UDF throughput over documents ---
@@ -183,11 +184,26 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
     1→8 procs = 7.3x, 8→32 procs = 2.6x), so pick a pair whose upper level
     is within the machine's real headroom when measuring engine efficiency.
     """
+    import hashlib
     import subprocess
     import tempfile
 
+    # cache path carries a fingerprint of the generator config + schema
+    # version: a stale corpus from an older generator can silently corrupt
+    # the N-vs-4N comparison otherwise
+    from dataclasses import asdict
+
+    from lshdedup.synth import SYNTH_SCHEMA_VERSION, SynthConfig
+
+    fp = hashlib.sha256(
+        json.dumps(
+            {"cfg": asdict(SynthConfig(n_rows=n_images)),
+             "schema": SYNTH_SCHEMA_VERSION},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
     corpus_path = os.path.join(
-        tempfile.gettempdir(), f"lshdedup_scale_corpus_{n_images}.parquet"
+        tempfile.gettempdir(), f"lshdedup_scale_corpus_{n_images}_{fp}.parquet"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         write_synth_corpus(n_images, corpus_path)

@@ -52,9 +52,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bucket-cap", type=int, default=4096)
     p.add_argument("--pair-salt", type=int, default=0)
     p.add_argument("--verify-mode", default="exact", choices=["minhash", "exact", "exact+simhash"])
-    p.add_argument("--sig-scheme", default="oph", choices=["kperm", "oph"],
-                   help="oph = one-permutation hashing (scale path, default); "
-                        "kperm = classic 128-permutation (reference parity)")
+    p.add_argument("--sig-scheme", default="oph",
+                   choices=["kperm", "kperm-ref", "oph"],
+                   help="oph = one-permutation hashing (the production/scale "
+                        "default for this JOB; note the DedupConfig LIBRARY "
+                        "default is kperm for reference-parity analytics — "
+                        "checkpoint fingerprints include the scheme, so "
+                        "mixing entry points recomputes, never corrupts); "
+                        "kperm = classic 128-permutation; kperm-ref = "
+                        "bit-exact reference parity (mt19937_64 + XXH64)")
     p.add_argument("--no-phash", action="store_true")
     p.add_argument("--master", help="override master (default: spark-submit's)")
     args = p.parse_args(argv)

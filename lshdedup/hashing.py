@@ -46,22 +46,42 @@ _SM_M2 = U64(0x94D049BB133111EB)
 # once per (worker, size-class) instead of once per expression per batch.
 # ---------------------------------------------------------------------------
 _SCRATCH: dict[str, np.ndarray] = {}
+_SCRATCH_SMALL: dict[str, int] = {}  # consecutive far-below-capacity requests
 
 
 def scratch(key: str, shape: tuple[int, ...], dtype=U64) -> np.ndarray:
     """A reusable uninitialized buffer of ``shape``/``dtype`` per key.
 
-    Grows monotonically (1.25x headroom) and persists for the life of the
-    Python worker.  Contents are garbage — callers must fully overwrite.
+    Persists for the life of the Python worker (1.25x headroom on growth).
+    Contents are garbage — callers must fully overwrite.
+
+    NOT thread-safe by design: Spark Python workers are single-threaded
+    (one task at a time per worker process), which is the only reason a
+    module-level arena is sound.  Do not call from multi-threaded driver
+    code.
+
+    Shrink policy: one outlier Arrow batch must not pin its high-water
+    mark forever (tens of MB per key per worker, multiplied across
+    executors).  A >1 MB buffer is reallocated at the requested size after
+    8 CONSECUTIVE requests below 1/4 of its capacity — hysteresis, because
+    every task's final partial batch is small and eager shrinking would
+    re-pay the (expensive) first-touch fault at each task boundary.
     """
     n = 1
     for s in shape:
         n *= int(s)
     need = n * np.dtype(dtype).itemsize
     buf = _SCRATCH.get(key)
+    if buf is not None and buf.nbytes > 1 << 20 and need * 4 < buf.nbytes:
+        _SCRATCH_SMALL[key] = _SCRATCH_SMALL.get(key, 0) + 1
+        if _SCRATCH_SMALL[key] >= 8:
+            buf = None  # shrink: realloc at the current working-set size
+    else:
+        _SCRATCH_SMALL[key] = 0
     if buf is None or buf.nbytes < need:
         buf = np.empty(int(need * 1.25) + 64, dtype=np.uint8)
         _SCRATCH[key] = buf
+        _SCRATCH_SMALL[key] = 0
     return buf[:need].view(dtype).reshape(shape)
 
 
@@ -90,6 +110,34 @@ def fnv1a_windows(windows: np.ndarray, seed: int = 0) -> np.ndarray:
         np.copyto(col, windows[:, j], casting="unsafe")
         np.bitwise_xor(h, col, out=h)
         np.multiply(h, _FNV_PRIME, out=h)
+    return h
+
+
+def fnv1a_varlen(tokens: list[bytes], seed: int = 0) -> np.ndarray:
+    """FNV-1a 64 of each variable-length byte string → (n,) uint64,
+    equal element-wise to fnv1a_bytes (pinned by tests).  Vectorized
+    across tokens: one padded byte matrix, loop over the max token length
+    with a live-row mask — O(max_len) vector ops instead of O(total_bytes)
+    interpreted steps."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
+    L = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET ^ U64(seed), dtype=U64)
+    if L == 0:
+        return h
+    buf = np.zeros((n, L), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    rr = np.repeat(np.arange(n), lens)
+    cc = np.arange(flat.size, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens[:-1]))), lens
+    )
+    buf[rr, cc] = flat
+    for j in range(L):
+        live = lens > j
+        hj = (h ^ buf[:, j].astype(U64)) * _FNV_PRIME
+        h = np.where(live, hj, h)
     return h
 
 

@@ -12,28 +12,57 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def dense_row_ids(lines: DataFrame, out_col: str) -> DataFrame:
+    """Dense 0..n-1 row ids in source order WITHOUT a global single-task
+    window: per-partition counts roll up to per-partition offsets (one
+    cheap pre-pass, like RDD.zipWithIndex), then a window partitioned by
+    spark_partition_id ranks rows inside each partition in parallel.
+
+    For file sources the (partition id, in-partition position) order IS
+    byte order, which is line order — so the assigned ids are independent
+    of the split count (spark.sql.files.maxPartitionBytes); pinned by
+    tests/test_dna_io.py.
+    """
+    tagged = lines.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    counts = (
+        tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, off = [], 0
+    for r in counts:
+        offsets.append((int(r["_pid"]), off))
+        off += int(r["_cnt"])
+    spark = lines.sparkSession
+    odf = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        tagged.join(F.broadcast(odf), "_pid")
+        .withColumn(out_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_mid", "_off")
+    )
+
+
 def documents_from_text(spark: SparkSession, path: str) -> DataFrame:
     """One doc per line with a stable 0-based label — the Spark form of
     get_document_from_file (io.h:21-38) + label assignment
-    (dna_benchmark.h:488).  Labels come from a zipWithIndex-equivalent
-    monotonic id ranked into a dense 0..n-1 range so they are
-    partition-count independent."""
-    lines = spark.read.text(path).withColumn("_mid", F.monotonically_increasing_id())
-    w = Window.orderBy("_mid")
-    return lines.select(
-        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
-        F.col("value").alias("text"),
+    (dna_benchmark.h:488).  Ids come from dense_row_ids: partition-parallel,
+    no whole-dataset funnel through one task."""
+    lines = spark.read.text(path)
+    return dense_row_ids(lines, "doc_id").select(
+        "doc_id", F.col("value").alias("text")
     )
 
 
 def reads_from_fastq(spark: SparkSession, path: str) -> DataFrame:
     """FASTQ scan: keep sequence lines (line index % 4 == 1) — the Spark
     form of get_document_from_fastq_file (io.h:48-62)."""
-    lines = spark.read.text(path).withColumn("_mid", F.monotonically_increasing_id())
-    w = Window.orderBy("_mid")
-    indexed = lines.select(
-        (F.row_number().over(w) - 1).alias("_line"), F.col("value")
-    )
+    lines = spark.read.text(path)
+    indexed = dense_row_ids(lines, "_line")
     seqs = indexed.filter(F.col("_line") % 4 == 1)
     return seqs.select(
         ((F.col("_line") - 1) / 4).cast("long").alias("read_id"),

@@ -93,7 +93,10 @@ def exact_dup_groups(
 
 
 def candidate_pairs(
-    buckets: DataFrame, id_col: str, cfg: DedupConfig
+    buckets: DataFrame,
+    id_col: str,
+    cfg: DedupConfig,
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket self-join → distinct candidate pairs (id_a < id_b).
 
@@ -110,8 +113,12 @@ def candidate_pairs(
     # Materialize: the self-join consumes `sized` twice (left/right) and the
     # skew report a third time; without this the upstream signature UDF
     # would be recomputed per branch.  (The checkpointed pipeline gets the
-    # same effect from the parquet stage boundary.)
+    # same effect from the parquet stage boundary.)  Callers that loop
+    # (bench, long-lived sessions) pass `persisted` and unpersist after
+    # materializing downstream results — otherwise the cache accumulates.
     sized = sized.persist()
+    if persisted is not None:
+        persisted.append(sized)
     eligible = sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= cfg.bucket_cap))
     skew_report = (
         sized.filter(F.col("_bsz") > cfg.bucket_cap)

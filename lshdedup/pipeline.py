@@ -42,6 +42,14 @@ class DedupResult:
     cfg: DedupConfig
     extra: dict = field(default_factory=dict)
 
+    def unpersist(self) -> None:
+        """Release every DataFrame the pipeline persisted (signatures,
+        sized buckets, candidates).  Call after materializing the outputs —
+        long-lived sessions that run the pipeline repeatedly (bench, the
+        driver) leak executor storage otherwise."""
+        for df in self.extra.get("persisted", []):
+            df.unpersist()
+
 
 def dedup_pipeline(
     spark: SparkSession,
@@ -62,6 +70,7 @@ def dedup_pipeline(
     narrow = df.select(*narrow_cols)
 
     runner = StageRunner(spark, cfg) if cfg.checkpoint_dir else None
+    persisted: list = []
 
     def run(name, fn):
         return runner.stage(name, fn) if runner else fn()
@@ -89,22 +98,24 @@ def dedup_pipeline(
         # so the signature UDF runs exactly once per row (the checkpointed
         # path gets this from the parquet stage boundary instead)
         signed = signed.persist()
+        persisted.append(signed)
 
     # 3. band explode → candidate pairs (the LSH "join")
     buckets = explode_bands(signed, id_col, "sig", cfg)
     cand_holder = {}
 
     def _cands():
-        pairs, skew = candidate_pairs(buckets, id_col, cfg)
+        pairs, skew = candidate_pairs(buckets, id_col, cfg, persisted=persisted)
         cand_holder["skew"] = skew
         return pairs
 
     candidates = run("candidates", _cands)
     if not runner:
         candidates = candidates.persist()  # reused by verify + result
+        persisted.append(candidates)
     skew = cand_holder.get("skew")
     if skew is None:  # resumed: recompute report definition lazily
-        _, skew = candidate_pairs(buckets, id_col, cfg)
+        _, skew = candidate_pairs(buckets, id_col, cfg, persisted=persisted)
 
     # 4. verify
     verified = run(
@@ -130,7 +141,7 @@ def dedup_pipeline(
         lambda: assign_clusters(narrow, edges, id_col=id_col),
     )
 
-    extra = {"runner": runner}
+    extra = {"runner": runner, "persisted": persisted}
     return DedupResult(
         clusters=clusters,
         dup_pairs=dup_pairs,

@@ -49,6 +49,11 @@ def splitmix64_scalar(x: int) -> int:
     return z ^ (z >> 31)
 
 
+# bump when the generator's OUTPUT changes for a fixed SynthConfig — cache
+# paths (bench.run_scaling) embed it so stale corpora are never reused
+SYNTH_SCHEMA_VERSION = 1
+
+
 @dataclass(frozen=True)
 class SynthConfig:
     n_rows: int = 1000

@@ -111,39 +111,96 @@ def md5_fingerprint_expr(text: Column | str) -> Column:
     return F.md5(text)
 
 
+def rolling_fingerprint_scalar(
+    data: bytes, window: int = 16, keep_mod: int = 8
+) -> int:
+    """Reference (per-document) semantics of the rolling fingerprint —
+    the spec the batched UDF is pinned against in tests: polynomial rolling
+    hash h_j = Σ 257^(w-1-i)·byte[j+i] (mod 2^64) over every window, keep
+    hashes ≡ 0 (mod keep_mod), xor-fold; no window → FNV-1a of the whole
+    doc; no kept window → min hash."""
+    from lshdedup.hashing import fnv1a_bytes
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size < window:
+        return int(np.uint64(fnv1a_bytes(data)))
+    B = np.uint64(257)
+    with np.errstate(over="ignore"):
+        h = np.uint64(0)
+        hashes = np.empty(arr.size - window + 1, dtype=np.uint64)
+        for j in range(window):
+            h = h * B + np.uint64(arr[j])
+        hashes[0] = h
+        mul = B ** np.uint64(window - 1)
+        for j in range(1, hashes.size):
+            h = (h - np.uint64(arr[j - 1]) * mul) * B + np.uint64(arr[j + window - 1])
+            hashes[j] = h
+    kept = hashes[hashes % np.uint64(keep_mod) == 0]
+    return int(np.bitwise_xor.reduce(kept) if kept.size else hashes.min())
+
+
+def rolling_fingerprints_batch(
+    raws: list[bytes], window: int = 16, keep_mod: int = 8
+) -> np.ndarray:
+    """Batched rolling fingerprints — bit-identical to
+    rolling_fingerprint_scalar per row (pinned by tests/test_textops.py),
+    with NO per-row or per-byte Python:
+
+      * all >=window docs concatenate into ONE byte buffer; the rolling
+        hash is recomputed directly per window position as `window` (16)
+        vector passes h = h*B + byte over ALL positions at once —
+        bit-equal to the incremental update mod 2^64;
+      * per-row xor-fold / kept-count / min all via ufunc.reduceat on the
+        row-segmented window array;
+      * <window docs hash in one fnv1a_varlen pass.
+    """
+    from lshdedup.hashing import fnv1a_varlen, ragged_valid_indices
+
+    n = len(raws)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.fromiter((len(r) for r in raws), count=n, dtype=np.int64)
+    short = lens < window
+    if short.any():
+        out[short] = fnv1a_varlen([raws[i] for i in np.flatnonzero(short)])
+    long_ix = np.flatnonzero(~short)
+    if long_ix.size == 0:
+        return out
+    flat = np.frombuffer(b"".join(raws[i] for i in long_ix), dtype=np.uint8)
+    llens = lens[long_ix]
+    offs = np.zeros(long_ix.size + 1, dtype=np.int64)
+    np.cumsum(llens, out=offs[1:])
+    bounds = np.stack([offs[:-1], offs[:-1] + (llens - window + 1)], axis=1)
+    windows = np.lib.stride_tricks.sliding_window_view(flat, window)
+    B = np.uint64(257)
+    h = np.zeros(windows.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            h *= B
+            h += windows[:, j]
+    idx, wlens = ragged_valid_indices(bounds)  # row-owned window positions
+    hv = h[idx]
+    starts = np.zeros(long_ix.size, dtype=np.int64)
+    np.cumsum(wlens[:-1], out=starts[1:])
+    mask = hv % np.uint64(keep_mod) == 0
+    xorred = np.bitwise_xor.reduceat(np.where(mask, hv, np.uint64(0)), starts)
+    cnt = np.add.reduceat(mask.astype(np.int64), starts)
+    mins = np.minimum.reduceat(hv, starts)
+    out[long_ix] = np.where(cnt > 0, xorred, mins)
+    return out
+
+
 def rolling_fingerprint_udf(window: int = 16, keep_mod: int = 8):
     """Winnowing-style rolling-hash fingerprint: polynomial rolling hash
     over a sliding byte window, keep hashes ≡ 0 (mod keep_mod), xor-fold to
-    one int64.  Robust to local edits outside kept windows; vectorized via
-    the same flat-buffer trick as shingling."""
-    B = np.uint64(257)
+    one int64.  Robust to local edits outside kept windows; one batched
+    numpy pass per Arrow batch (rolling_fingerprints_batch)."""
 
     @F.pandas_udf(LongType())
     def fp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        mul = B ** np.uint64(window - 1)
-        np.seterr(over="ignore")  # uint64 rolling hash wraps by design
         for batch in batches:
-            out = np.zeros(len(batch), dtype=np.uint64)
-            for i, t in enumerate(batch):
-                data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-                if data.size < window:
-                    from lshdedup.hashing import fnv1a_bytes
-
-                    out[i] = np.uint64(fnv1a_bytes(bytes(data)))
-                    continue
-                # rolling hash via cumulative powers (vectorized per doc)
-                h = np.uint64(0)
-                hashes = np.empty(data.size - window + 1, dtype=np.uint64)
-                for j in range(window):
-                    h = h * B + np.uint64(data[j])
-                hashes[0] = h
-                for j in range(1, hashes.size):
-                    h = (h - np.uint64(data[j - 1]) * mul) * B + np.uint64(
-                        data[j + window - 1]
-                    )
-                    hashes[j] = h
-                kept = hashes[hashes % np.uint64(keep_mod) == 0]
-                out[i] = np.bitwise_xor.reduce(kept) if kept.size else hashes.min()
-            yield pd.Series(out.view(np.int64))
+            raws = [(t or "").encode("utf-8") for t in batch]
+            yield pd.Series(
+                rolling_fingerprints_batch(raws, window, keep_mod).view(np.int64)
+            )
 
     return fp

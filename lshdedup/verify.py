@@ -187,11 +187,24 @@ def verify_pairs(
             hamming_expr(F.col(f"{simhash_col}_a"), F.col(f"{simhash_col}_b"))
             <= cfg.simhash_max_hamming
         )
-    if cfg.lcs_min_ratio > 0:
-        pre = F.lit(True)  # LCS channel can fire on low-Jaccard pairs
-    out = out.filter(pre)
-
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    if cfg.lcs_min_ratio > 0:
+        # The LCS channel must NOT disable the prefilter (the
+        # suffix-automaton UDF is the most expensive stage; it has to see a
+        # bounded remnant, not every candidate).  Native screen: a common
+        # substring of length L contributes at most L-k+1 shared k-grams,
+        # so a pair that could reach lcs_ratio >= ρ has gram intersection
+        # near ceil(ρ·min_len)-k+1; keep pairs within a 1/slack factor of
+        # that bound.  Low-entropy repeats (few DISTINCT grams inside a
+        # long common substring) can fall below it — those are exactly the
+        # near-equal docs the simhash/phash terms of `pre` keep
+        # unconditionally.
+        min_len = F.least(
+            F.length(F.col(f"{text_col}_a")), F.length(F.col(f"{text_col}_b"))
+        )
+        required = F.ceil(F.lit(cfg.lcs_min_ratio) * min_len) - F.lit(cfg.k - 1)
+        pre = pre | (inter * F.lit(cfg.lcs_screen_slack) >= required)
+    out = out.filter(pre)
     union = F.col("_nsh_a") + F.col("_nsh_b") - inter
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
     out = out.withColumn("jaccard", jac)

@@ -91,23 +91,104 @@ def generalized_jaccard_maps(ma: dict, mb: dict) -> float:
     return num / den if den else 1.0
 
 
+def wminhash_batch(
+    idx: np.ndarray,
+    w: np.ndarray,
+    lens: np.ndarray,
+    dim: int,
+    sample_size: int,
+    seed: int = 1,
+    chunk_rows: int = 64,
+):
+    """Batched CWS over a ragged sparse batch — the vectorized form of
+    calling wminhash_dense per row (identical outputs, pinned by
+    tests/test_wminhash.py).
+
+    idx  : (total,) int64 — active dimension indices, rows concatenated
+           (row i owns the slice after its predecessors' ``lens``);
+    w    : (total,) float64 — weights > 0 aligned with ``idx``;
+    lens : (n_rows,) int64 — active count per row (0 → None signature).
+
+    Rows are padded to the chunk's max active count and the whole chunk's
+    (rows, A_max, sample_size) CWS tensor is computed in one numpy pass;
+    pad lanes carry ln_a = +inf so argmin never selects them.  Per-chunk
+    tensors are bounded (chunk_rows × A_max × S) so worker memory stays
+    flat regardless of batch size.
+    """
+    r_all, ln_c_all, beta_all = random_samples(dim, sample_size, seed)
+    n = lens.shape[0]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out: list = [None] * n
+    cols = np.arange(sample_size)
+    for c0 in range(0, n, chunk_rows):
+        c1 = min(c0 + chunk_rows, n)
+        cl = lens[c0:c1]
+        amax = int(cl.max()) if cl.size else 0
+        if amax == 0:
+            continue
+        rows = c1 - c0
+        pad_w = np.zeros((rows, amax), dtype=np.float64)
+        pad_i = np.zeros((rows, amax), dtype=np.int64)
+        rr = np.repeat(np.arange(rows), cl)
+        cc = np.arange(int(cl.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cl[:-1]))), cl
+        )
+        seg = slice(offs[c0], offs[c1])
+        pad_w[rr, cc] = w[seg]
+        pad_i[rr, cc] = idx[seg]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lw = np.log(pad_w)[:, :, None]           # -inf on pads
+            rg = r_all[pad_i]                        # (rows, amax, S)
+            cg = ln_c_all[pad_i]
+            bg = beta_all[pad_i]
+            t = np.floor(lw / rg + bg)
+            ln_a = cg - (t - bg) * rg - rg
+        ln_a[pad_w <= 0] = np.inf                    # pads + zero weights
+        k_arg = np.argmin(ln_a, axis=1)              # (rows, S)
+        row_ix = np.arange(rows)[:, None]
+        k_star = pad_i[row_ix, k_arg]
+        t_sel = t[row_ix, k_arg, cols[None, :]]
+        packed = _pack(k_star, t_sel)
+        for j in range(rows):
+            if cl[j] > 0:
+                out[c0 + j] = packed[j]
+    return out
+
+
+def _dense_batch_to_sparse(batch: pd.Series):
+    """pd.Series of dense float arrays → ragged (idx, w, lens) of the
+    strictly-positive entries (None rows → lens 0)."""
+    idx_parts, w_parts, lens = [], [], np.zeros(len(batch), dtype=np.int64)
+    for j, v in enumerate(batch):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        act = np.flatnonzero(a > 0)
+        lens[j] = act.size
+        if act.size:
+            idx_parts.append(act.astype(np.int64))
+            w_parts.append(a[act])
+    idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, dtype=np.int64)
+    w = np.concatenate(w_parts) if w_parts else np.empty(0, dtype=np.float64)
+    return idx, w, lens
+
+
 def wminhash_udf(dim: int, sample_size: int, seed: int = 1):
     """pandas UDF: array<float> dense weights → array<long> packed CWS
     signature (null for all-zero rows).  The sample matrices regenerate
     deterministically per executor (seeded) — the broadcast-free equivalent
-    of broadcasting RandomSample."""
+    of broadcasting RandomSample.  One vectorized CWS pass per Arrow batch
+    (wminhash_batch) — no per-row Python in the hot loop."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def wmh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
-            out = []
-            for v in batch:
-                if v is None:
-                    out.append(None)
-                    continue
-                sig = wminhash_dense(np.asarray(v), dim, sample_size, seed)
-                out.append(None if sig is None else list(sig))
-            yield pd.Series(out, dtype=object)
+            idx, w, lens = _dense_batch_to_sparse(batch)
+            sigs = wminhash_batch(idx, w, lens, dim, sample_size, seed)
+            yield pd.Series(
+                [None if s is None else list(s) for s in sigs], dtype=object
+            )
 
     return wmh
 
@@ -135,21 +216,56 @@ def wminhash_set(weights: dict, dim: int, sample_size: int, seed: int = 1):
     return wminhash_dense(weights_to_dense(weights, dim, seed), dim, sample_size, seed)
 
 
+def _maps_batch_to_sparse(batch: pd.Series, dim: int, seed: int):
+    """pd.Series of {token: weight} maps → ragged (idx, w, lens): one
+    vectorized FNV pass positions ALL tokens of the batch (content-derived,
+    same as weights_to_dense), then one np.unique + add.at combines
+    colliding positions per row.  idx ascending within each row (matches
+    flatnonzero order, so argmin tie-breaks identically to the scalar
+    path)."""
+    from lshdedup.hashing import fnv1a_varlen
+
+    n = len(batch)
+    rows_l, toks_l, ws_l = [], [], []
+    for j, m in enumerate(batch):
+        if not m:
+            continue
+        for tok, wt in m.items():
+            rows_l.append(j)
+            toks_l.append(str(tok).encode("utf-8"))
+            ws_l.append(float(wt))
+    lens = np.zeros(n, dtype=np.int64)
+    if not toks_l:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), lens
+    rows = np.asarray(rows_l, dtype=np.int64)
+    ws = np.asarray(ws_l, dtype=np.float64)
+    pos = (fnv1a_varlen(toks_l, seed) % np.uint64(dim)).astype(np.int64)
+    key = rows * dim + pos
+    ukey, inv = np.unique(key, return_inverse=True)
+    acc = np.zeros(ukey.size, dtype=np.float64)
+    np.add.at(acc, inv, ws)
+    keep = acc > 0
+    ukey, acc = ukey[keep], acc[keep]
+    urow = ukey // dim
+    np.add.at(lens, urow, 1)
+    return (ukey % dim).astype(np.int64), acc, lens
+
+
 def wminhash_set_udf(dim: int, sample_size: int, seed: int = 1):
     """pandas UDF: map<string,int> token weights → array<long> packed CWS
-    signature (null for empty/all-zero maps)."""
+    signature (null for empty/all-zero maps).  Token hashing and CWS both
+    run once per Arrow batch (fnv1a_varlen + wminhash_batch) — the map
+    unpacking is the only per-row Python left, and it is O(tokens) list
+    appends, not hash/CWS math."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def wmh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
-            out = []
-            for m in batch:
-                if not m:
-                    out.append(None)
-                    continue
-                sig = wminhash_set(dict(m), dim, sample_size, seed)
-                out.append(None if sig is None else list(sig))
-            yield pd.Series(out, dtype=object)
+            idx, w, lens = _maps_batch_to_sparse(batch, dim, seed)
+            sigs = wminhash_batch(idx, w, lens, dim, sample_size, seed)
+            yield pd.Series(
+                [None if s is None else list(s) for s in sigs], dtype=object
+            )
 
     return wmh
 

@@ -107,3 +107,42 @@ def test_reads_from_fastq(spark, tmp_path):
         (0, "ATCG"),
         (1, "GGCC"),
     ]
+
+
+def test_dense_ids_independent_of_split_count(spark, tmp_path):
+    """Ids must not change with the file-split size (the pre-fix global
+    window was also split-stable but funneled everything through one task;
+    this pins the per-partition-offset rewrite to the same assignment)."""
+    from lshdedup.io import documents_from_text
+
+    p = tmp_path / "many_lines.txt"
+    lines = [f"line number {i} with some padding text" for i in range(3000)]
+    p.write_text("\n".join(lines) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+        small = {r["doc_id"]: r["text"]
+                 for r in documents_from_text(spark, str(p)).collect()}
+        # more than one SCAN split actually exercised (the output may be
+        # AQE-coalesced, which is fine — the ids must not depend on it)
+        assert spark.read.text(str(p)).rdd.getNumPartitions() > 1
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        big = {r["doc_id"]: r["text"]
+               for r in documents_from_text(spark, str(p)).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert small == big
+    assert [small[i] for i in range(3000)] == lines
+
+
+def test_dense_ids_plan_has_no_global_exchange(spark, tmp_path):
+    """The id-assignment plan must not contain a single-partition global
+    sort (Exchange SinglePartition) — the 100 TB bottleneck the rewrite
+    removes."""
+    from lshdedup.io import documents_from_text
+
+    p = tmp_path / "f.txt"
+    p.write_text("\n".join(f"row {i}" for i in range(50)) + "\n")
+    plan = documents_from_text(spark, str(p))._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

@@ -186,3 +186,25 @@ def test_oph_empty_rows_deterministic_and_equal():
     sig = oph_signatures(np.empty(0, dtype=np.uint64), np.array([0, 0]), 128, seed=1)
     assert np.array_equal(sig[0], sig[1])  # two empty docs are identical
     assert (sig < np.uint64(1 << 62)).all()
+
+
+def test_scratch_shrinks_after_sustained_small_requests():
+    import numpy as np
+
+    from lshdedup.hashing import _SCRATCH, scratch
+
+    key = "_test_shrink"
+    big = scratch(key, (2_000_000,), np.uint64)  # 16 MB
+    assert _SCRATCH[key].nbytes >= 16_000_000
+    # one small request (a task's final partial batch) must NOT shrink
+    scratch(key, (1000,), np.uint64)
+    assert _SCRATCH[key].nbytes >= 16_000_000
+    # sustained small working set DOES shrink
+    for _ in range(8):
+        scratch(key, (1000,), np.uint64)
+    assert _SCRATCH[key].nbytes < 1_000_000
+    # and correctness is unaffected
+    buf = scratch(key, (1000,), np.uint64)
+    buf[:] = 7
+    assert (scratch(key, (1000,), np.uint64) == 7).all()
+    _SCRATCH.pop(key, None)

@@ -68,3 +68,40 @@ def test_rolling_fingerprint_local_edit_robustness(spark):
     b = [r["f"] for r in df.repartition(4).select(rolling_fingerprint_udf()(F.col("t")).alias("f")).collect()]
     assert sorted(a) == sorted(b)
     assert len(set(a)) == len(texts)
+
+
+def test_rolling_fp_pinned_goldens(spark):
+    """Golden values captured from the pre-vectorization implementation —
+    the batch rewrite must not change a single output."""
+    from pyspark.sql import functions as F
+
+    from lshdedup.textops import rolling_fingerprint_udf
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "short", "", "a" * 16, "a" * 15,
+             "the quick brown fox jumps over the lazy dog and then some "
+             "more text to have many windows"]
+    golden = {0: 6296264192483308848, 1: -679668296877748907,
+              2: -3750763034362895579, 3: -9182626599355449840,
+              4: -1051773324172848042, 5: 370489622155987328}
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r["i"]: r["fp"] for r in
+           df.select("i", rolling_fingerprint_udf()(F.col("t")).alias("fp")).collect()}
+    assert got == golden
+
+
+def test_rolling_fp_batch_equals_scalar():
+    import numpy as np
+
+    from lshdedup.textops import (
+        rolling_fingerprint_scalar,
+        rolling_fingerprints_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    raws = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            for n in (0, 1, 15, 16, 17, 40, 200, 16, 1000)]
+    got = rolling_fingerprints_batch(raws)
+    want = [rolling_fingerprint_scalar(r) for r in raws]
+    assert [int(x) for x in got] == want

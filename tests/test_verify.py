@@ -92,3 +92,33 @@ def test_verify_lcs_channel(spark):
     got = verify_pairs(pairs, docs, cfg, phash_col=None).first()
     assert got["lcs_ratio"] > 0.7
     assert got["is_dup"] is True
+
+
+def test_verify_lcs_mode_keeps_prefilter(spark):
+    """With the LCS channel ON, genuinely-dissimilar candidates must be
+    pre-pruned BEFORE the suffix-automaton UDF (the pre-fix code set
+    pre=True, funneling every candidate through per-pair Python); the
+    true substring pair must still verify."""
+    cfg = DedupConfig(k=3, n_perm=64, threshold=0.99, use_phash=False,
+                      lcs_min_ratio=0.7)
+    contained = "exactly this long shared substring appears"
+    df = spark.createDataFrame(
+        [
+            ("a", f"prefix junk {contained}", 0),
+            ("b", f"{contained} other suffix material", 0),
+            ("c", "zq zq completely unrelated text with nothing shared", 0),
+            ("d", "different again xylophone quartz vortex blanket", 0),
+        ],
+        ["image_id", "caption", "phash"],
+    )
+    docs = add_signatures(df, cfg, phash_col="_none_")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("a", "d")], ["id_a", "id_b"]
+    )
+    out = verify_pairs(pairs, docs, cfg, phash_col=None)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # the substring pair survives the screen and fires the LCS channel
+    assert rows[("a", "b")]["lcs_ratio"] > 0.7
+    assert rows[("a", "b")]["is_dup"] is True
+    # dissimilar candidates are absent — pruned before the UDF stage
+    assert ("c", "d") not in rows and ("a", "d") not in rows

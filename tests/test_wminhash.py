@@ -107,3 +107,67 @@ def test_set_variant_order_independent_and_tracks_oracle():
     )
     exact = generalized_jaccard_maps(ma, mb)
     assert abs(est - exact) < 0.12, (est, exact)
+
+
+def test_batch_equals_scalar_dense():
+    """wminhash_batch output is element-identical to per-row
+    wminhash_dense (the vectorization changed the loop, not the math)."""
+    from lshdedup.wminhash import wminhash_batch
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    dim, m = 64, 128
+    vecs = [rng.uniform(0, 3, size=dim) * (rng.uniform(size=dim) > 0.3)
+            for _ in range(37)]
+    vecs.append(np.zeros(dim))  # all-zero row → None
+    idx_parts, w_parts, lens = [], [], []
+    for v in vecs:
+        act = np.flatnonzero(v > 0)
+        lens.append(act.size)
+        idx_parts.append(act.astype(np.int64))
+        w_parts.append(v[act])
+    sigs = wminhash_batch(
+        np.concatenate(idx_parts), np.concatenate(w_parts),
+        np.array(lens, dtype=np.int64), dim, m, seed=1, chunk_rows=7,
+    )
+    for v, got in zip(vecs, sigs):
+        want = wminhash_dense(v, dim, m, seed=1)
+        if want is None:
+            assert got is None
+        else:
+            assert np.array_equal(got, want), v
+
+
+def test_fnv_varlen_equals_scalar():
+    from lshdedup.hashing import fnv1a_bytes, fnv1a_varlen
+
+    toks = [b"", b"a", b"hello", b"some-longer-token-value", b"\x00\xff"]
+    got = fnv1a_varlen(toks, seed=1)
+    assert got.tolist() == [fnv1a_bytes(t, 1) for t in toks]
+
+
+def test_maps_batch_equals_scalar_set_variant():
+    """The batched map path equals per-row wminhash_set."""
+    import pandas as pd
+
+    from lshdedup.wminhash import (
+        _maps_batch_to_sparse,
+        wminhash_batch,
+        wminhash_set,
+    )
+
+    maps = [
+        {"the": 3, "cat": 1, "sat": 2},
+        {"a": 1},
+        {},
+        None,
+        {"x" * 40: 7, "y": 1, "the": 2},
+    ]
+    dim, m = 4096, 128
+    idx, w, lens = _maps_batch_to_sparse(pd.Series(maps), dim, 1)
+    sigs = wminhash_batch(idx, w, lens, dim, m, seed=1)
+    for mp, got in zip(maps, sigs):
+        if not mp:
+            assert got is None
+        else:
+            want = wminhash_set(dict(mp), dim, m, seed=1)
+            assert np.array_equal(got, want), mp
