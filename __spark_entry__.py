@@ -40,6 +40,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------- entry --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents →
@@ -303,6 +307,54 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (events.py)."""
+    from lshdedup.events import hourly_rollup
+
+    return hourly_rollup(_events(spark, sf_dir))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization, 30-min gap (events.py)."""
+    from lshdedup.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lshdedup.events import topk_per_user
+
+    return topk_per_user(_events(spark, sf_dir), k=3)
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lshdedup.events import json_extract_props
+
+    return json_extract_props(_events(spark, sf_dir))
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse k-means cells + multi-probe; ann.py).
+    Seeded k-means is not SQL-expressible → rows-only here; recall vs the
+    brute-force oracle is gated in tests/test_ann.py."""
+    from lshdedup.ann import ivf_topk
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    # probe half the cells: the fixture embeddings are near-uniform random
+    # (IVF's worst case — no cluster structure), recall@5 = 0.8 at 8/16
+    # probes vs 0.49 at 4/16 (measured); real embedding corpora cluster and
+    # need far fewer probes
+    return ivf_topk(q, c, k=5, dim=64, n_cells=16, n_probe=8)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kperm MinHash signatures, exploded to (doc_id, lane, sig_value) so the
     driver canonicalizer can sort/hash scalar columns — AND so DuckDB can
@@ -422,6 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wminhash_set_signatures": q_wminhash_set_signatures,
         "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprints": q_rolling_fingerprints,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_sessions": q_events_sessions,
+        "events_topk_per_user": q_events_topk_per_user,
+        "events_json_extract": q_events_json_extract,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -665,6 +722,55 @@ def oracle_sql() -> dict[str, str]:
             FROM e a CROSS JOIN e b
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "events_hourly_rollup": """
+            SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                               OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f
+            ),
+            per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_sessions,
+                   sum(n)::BIGINT AS n_events,
+                   max(n)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id
+        """,
+        "events_topk_per_user": """
+            SELECT user_id, event_id, value, rank::INT AS rank
+            FROM (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id ASC)
+                             AS rank
+                  FROM events)
+            WHERE rank <= 3
+        """,
+        "events_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+            FROM events
         """,
         "minhash_signatures": _minhash_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),

