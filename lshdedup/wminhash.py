@@ -149,6 +149,10 @@ def wminhash_batch(
         row_ix = np.arange(rows)[:, None]
         k_star = pad_i[row_ix, k_arg]
         t_sel = t[row_ix, k_arg, cols[None, :]]
+        # rows with zero active dims in this chunk select pad lanes
+        # (t = ±inf/NaN); they are discarded below — zero them so the
+        # int64 cast in _pack stays warning-free
+        t_sel = np.where(np.isfinite(t_sel), t_sel, 0.0)
         packed = _pack(k_star, t_sel)
         for j in range(rows):
             if cl[j] > 0:
