@@ -370,6 +370,29 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REF_CFG = DedupConfig(
+    k=5, n_perm=128, seed=1, threshold=0.8, b=21, r=6, use_phash=False,
+    sig_scheme="kperm-ref", minhash_bits=32,
+)
+
+
+def q_minhash_ref_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT-EXACT reference signatures (sig_scheme=kperm-ref,
+    MinHashBits=32): XXH64 seed-0 element hash folded % 2^31-1, the
+    mt19937_64+libstdc++ permutation table, per-element & 0xFFFFFFFF mask —
+    the reference's default MinHash template, lane-by-lane.  The DuckDB
+    oracle re-derives every value independently: XXH64 is unrolled in
+    128-bit SQL arithmetic and the drawn (a,b) table is inlined as
+    literals (_minhash_ref_oracle_sql)."""
+    from lshdedup.minhash import add_signatures
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    signed = add_signatures(d, REF_CFG, text_col="text", phash_col="_none_")
+    return signed.select(
+        "doc_id", F.posexplode("sig").alias("lane", "sig_value")
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lshdedup.simhash import simhash_udf
 
@@ -468,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "embedding_topk": q_embedding_topk,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_ref_signatures": q_minhash_ref_signatures,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "wminhash_signatures": q_wminhash_signatures,
@@ -520,7 +544,7 @@ def _minhash_oracle_sql() -> str:
     fnv = _fnv_sql("text", "i", DOC_CFG.k)
     return f"""
         WITH gh AS (
-          SELECT doc_id, {fnv} AS h
+          SELECT DISTINCT doc_id, {fnv} AS h
           FROM (SELECT doc_id, text,
                        unnest(range(1, length(text)-{DOC_CFG.k}+2)) AS i
                 FROM documents)
@@ -529,6 +553,89 @@ def _minhash_oracle_sql() -> str:
         SELECT doc_id, lane::INT AS lane,
                min((((pa::HUGEINT * h) % {_W64} + pb::HUGEINT) % {_W64})
                    % {_P61})::BIGINT AS sig_value
+        FROM gh CROSS JOIN perms
+        GROUP BY doc_id, lane
+    """
+
+
+def _rotl_sql(x: str, r: int) -> str:
+    """rotl64 in HUGEINT SQL: (x<<r mod 2^64) and (x>>(64-r)) occupy
+    disjoint bit ranges, so | is +.  x<2^64 · 2^r can overflow INT128 for
+    large r — shift via limbs: (x % 2^(64-r)) * 2^r stays < 2^64."""
+    return (
+        f"(({x} % {1 << (64 - r)}::HUGEINT) * {1 << r}::HUGEINT"
+        f" + ({x} // {1 << (64 - r)}::HUGEINT))"
+    )
+
+
+def _mulmod_sql(x: str, y: int) -> str:
+    """(x * y) mod 2^64 for x < 2^64 and constant y < 2^64 without INT128
+    overflow: split x into 32-bit limbs — x_lo*y < 2^96 and x_hi*y < 2^96
+    both fit HUGEINT; ((x_hi*y) mod 2^32)*2^32 recombines exactly."""
+    return (
+        f"((({x} % 4294967296::HUGEINT) * {y}::HUGEINT"
+        f" + (({x} // 4294967296::HUGEINT) * {y}::HUGEINT % 4294967296::HUGEINT)"
+        f" * 4294967296::HUGEINT) % {_W64})"
+    )
+
+
+def _minhash_ref_oracle_sql() -> str:
+    """Value-level oracle for the BIT-EXACT kperm-ref signatures: XXH64
+    seed-0 of each 5-byte gram unrolled as a CTE chain of 128-bit SQL
+    steps (short-input path of the public spec — each step references the
+    previous step's COLUMN, keeping the SQL linear), element fold
+    % 2^31-1 (XXStringViewHash32, hash.h:52-60), the mt19937_64+libstdc++
+    (a,b) table inlined, and the MinHashBits=32 per-element mask
+    (& 0xFFFFFFFF == mod 2^32, minhash.h:144-146) applied BEFORE the min."""
+    from lshdedup.refrng import ref_permutations
+
+    a, b = ref_permutations(REF_CFG.n_perm, REF_CFG.seed)
+    rows = ", ".join(
+        f"({i}, {int(ai)}::BIGINT, {int(bi)}::BIGINT)"
+        for i, (ai, bi) in enumerate(zip(a.tolist(), b.tolist()))
+    )
+    P1 = "11400714785074694791::HUGEINT"
+    P2 = "14029467366897019727::HUGEINT"
+    P3 = "1609587929392839161::HUGEINT"
+    P5 = "2870177450012600261::HUGEINT"
+    byte = lambda j: f"ascii(substr(text, i+{j}, 1))::HUGEINT"  # noqa: E731
+    return f"""
+        WITH g0 AS (
+          SELECT doc_id,
+                 ({byte(0)} + {byte(1)}*256 + {byte(2)}*65536
+                  + {byte(3)}*16777216) AS w32,
+                 {byte(4)} AS b4
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text)-{REF_CFG.k}+2)) AS i
+                FROM documents)
+        ),
+        -- h = (seed0 + P5 + len); h ^= u32*P1   (w32 < 2^32: plain mul fits)
+        s1 AS (SELECT doc_id, b4,
+                      xor({P5} + 5::HUGEINT, (w32 * {P1}) % {_W64}) AS h
+               FROM g0),
+        -- h = rotl(h,23)*P2 + P3  (rotl materialized, then limb-split mul)
+        s2a AS (SELECT doc_id, b4, {_rotl_sql('h', 23)} AS h FROM s1),
+        s2 AS (SELECT doc_id, b4,
+                      ({_mulmod_sql('h', 0xC2B2AE3D27D4EB4F)} + {P3}) % {_W64} AS h
+               FROM s2a),
+        -- h ^= b*P5; h = rotl(h,11)*P1
+        s3 AS (SELECT doc_id,
+                      xor(h, (b4 * {P5}) % {_W64}) AS h
+               FROM s2),
+        s4a AS (SELECT doc_id, {_rotl_sql('h', 11)} AS h FROM s3),
+        s4 AS (SELECT doc_id, {_mulmod_sql('h', 0x9E3779B185EBCA87)} AS h FROM s4a),
+        -- avalanche: ^>>33 *P2 ^>>29 *P3 ^>>32, then fold % 2^31-1
+        s5 AS (SELECT doc_id, xor(h, h // 8589934592::HUGEINT) AS h FROM s4),
+        s6 AS (SELECT doc_id, {_mulmod_sql('h', 0xC2B2AE3D27D4EB4F)} AS h FROM s5),
+        s7 AS (SELECT doc_id, xor(h, h // 536870912::HUGEINT) AS h FROM s6),
+        s8 AS (SELECT doc_id, {_mulmod_sql('h', 0x165667B19E3779F9)} AS h FROM s7),
+        gh AS (SELECT DISTINCT doc_id,
+                      xor(h, h // 4294967296::HUGEINT) % 2147483647::HUGEINT AS h
+               FROM s8),
+        perms(lane, pa, pb) AS (VALUES {rows})
+        SELECT doc_id, lane::INT AS lane,
+               min(((((pa::HUGEINT * h) % {_W64} + pb::HUGEINT) % {_W64})
+                    % {_P61}) % 4294967296::HUGEINT)::BIGINT AS sig_value
         FROM gh CROSS JOIN perms
         GROUP BY doc_id, lane
     """
@@ -773,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "minhash_signatures": _minhash_oracle_sql(),
+        "minhash_ref_signatures": _minhash_ref_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """

@@ -79,6 +79,50 @@ def main(out_path: str = "PLANS.md") -> int:
         "BroadcastHashJoin: the labels table scales with the vertex count.",
     ))
 
+    # ---- round-2 operators: events + IVF ----
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    plan_rollup = plan_sessions = plan_ivf = ""
+    if os.path.exists(events_path):
+        from lshdedup.events import hourly_rollup, sessionize
+
+        ev = spark.read.parquet(events_path)
+        plan_rollup = captured_explain(hourly_rollup(ev))
+        sections.append((
+            "Events hourly rollup (tumbling window agg)",
+            plan_rollup,
+            "Partial (map-side) + final HashAggregate around one Exchange on "
+            "(window, event_type); the scan's ReadSchema must NOT read "
+            "`props` or `user_id` (column pruning).",
+        ))
+        plan_sessions = captured_explain(sessionize(ev))
+        sections.append((
+            "Events sessionization (gaps-and-islands)",
+            plan_sessions,
+            "All Exchanges hash-partition on user_id (the lag window, the "
+            "running sum, and both aggregations share the partitioning); no "
+            "single-partition global sort.",
+        ))
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from lshdedup.ann import ivf_topk
+
+        e = spark.read.parquet(emb_path).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+        )
+        c = e.filter(F.col("vec_id") >= 5).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+        )
+        plan_ivf = captured_explain(ivf_topk(q, c, k=5, dim=64, n_cells=8, n_probe=2))
+        sections.append((
+            "IVF ANN top-k (cell equi-join + re-rank)",
+            plan_ivf,
+            "Candidate generation is an equi-join on the coarse cell id — "
+            "never a cartesian/broadcast-nested-loop product.",
+        ))
+
     # ---- checks ----
     problems = []
     import re
@@ -90,6 +134,17 @@ def main(out_path: str = "PLANS.md") -> int:
                 problems.append(f"unpruned column {col!r} in scan: {schema}")
     if "BroadcastHashJoin" in sections[2][1]:
         problems.append("CC iteration join is broadcast")
+    if plan_rollup:
+        for schema in re.findall(r"ReadSchema: (struct<[^>]*>)", plan_rollup):
+            for col in ("props", "user_id"):
+                if col in schema:
+                    problems.append(f"rollup scan reads {col!r}: {schema}")
+    if plan_sessions and "SinglePartition" in plan_sessions:
+        problems.append("sessionize plan has a single-partition exchange")
+    if plan_ivf:
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan_ivf:
+                problems.append(f"IVF candidate join degenerated to {bad}")
 
     lines = [
         "# PLANS — physical-plan audit of the headline stages",

@@ -202,19 +202,37 @@ def minhash_segments(
     h[-1] = U64(0)
     idx = bounds.astype(np.int64, copy=False).reshape(-1)
     out = np.empty((n_rows, n_perm), dtype=U64)
+    # Batch-level gram dedup — the reference's LRU cache effect
+    # (minhash.h:102-104): permutation math runs once per DISTINCT hash,
+    # then a gather rebuilds per-position rows for the segment minima.
+    # Real text repeats grams heavily, so n_uniq << n; the gather (one
+    # pass) replaces two of the three arithmetic passes per duplicate.
+    # Skipped when dedup wouldn't pay (mostly-unique hashes).
+    uniq, inv = np.unique(h, return_inverse=True)
+    use_uniq = uniq.size <= (h.size * 3) // 4
     # One worker-persistent scratch buffer, ALL block math in-place.  Fresh
     # multi-hundred-MB temporaries per block would be mmap'd/munmap'd by the
     # allocator each iteration and first-touch page faults dominate the whole
     # stage (measured ~100x slower, worse under many concurrent executors).
     tmp = scratch("mh_seg", (min(block, n_perm), h.size))
+    tu = scratch("mh_seg_u", (min(block, n_perm), uniq.size)) if use_uniq else None
     for s in range(0, n_perm, block):
         blk = min(block, n_perm - s)
         t = tmp[:blk]
-        np.multiply(a[s : s + blk, None], h[None, :], out=t)  # wraps mod 2^64
-        np.add(t, b[s : s + blk, None], out=t)
-        np.mod(t, _P61, out=t)
-        if vmask is not None:
-            np.bitwise_and(t, U64(vmask), out=t)
+        if use_uniq:
+            u = tu[:blk]
+            np.multiply(a[s : s + blk, None], uniq[None, :], out=u)  # mod 2^64
+            np.add(u, b[s : s + blk, None], out=u)
+            np.mod(u, _P61, out=u)
+            if vmask is not None:
+                np.bitwise_and(u, U64(vmask), out=u)
+            np.take(u, inv, axis=1, out=t)  # gather back to positions
+        else:
+            np.multiply(a[s : s + blk, None], h[None, :], out=t)  # mod 2^64
+            np.add(t, b[s : s + blk, None], out=t)
+            np.mod(t, _P61, out=t)
+            if vmask is not None:
+                np.bitwise_and(t, U64(vmask), out=t)
         red = np.minimum.reduceat(t, idx, axis=1)
         out[:, s : s + blk] = red[:, ::2].T
     return out

@@ -208,3 +208,29 @@ def test_scratch_shrinks_after_sustained_small_requests():
     buf[:] = 7
     assert (scratch(key, (1000,), np.uint64) == 7).all()
     _SCRATCH.pop(key, None)
+
+
+def test_minhash_segments_unique_gather_path_equal():
+    """The batch gram-dedup fast path (unique + gather) must be value-equal
+    to the direct per-position math, with and without the 32-bit mask."""
+    import numpy as np
+
+    from lshdedup.hashing import generate_permutations, minhash_segments
+
+    rng = np.random.default_rng(9)
+    a, b = generate_permutations(32, 1)
+    # heavy duplication → unique path triggers
+    pool = rng.integers(0, 2**61, size=50, dtype=np.uint64)
+    hashes = pool[rng.integers(0, 50, size=4000)]
+    bounds = np.array([[0, 1500], [1500, 1501], [1501, 4000]], dtype=np.int64)
+    # mostly-unique → direct path
+    hashes_u = rng.integers(0, 2**61, size=4000, dtype=np.uint64)
+    for hs in (hashes, hashes_u):
+        for vmask in (None, 0xFFFFFFFF):
+            got = minhash_segments(hs, bounds, a, b, vmask=vmask)
+            # independent reference: per-segment full-matrix math
+            for i, (s, e) in enumerate(bounds):
+                t = (a[None, :] * hs[s:e, None] + b[None, :]) % np.uint64((1 << 61) - 1)
+                if vmask is not None:
+                    t = t & np.uint64(vmask)
+                assert np.array_equal(got[i], t.min(axis=0)), (i, vmask)

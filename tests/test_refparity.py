@@ -127,6 +127,19 @@ def test_ref_fixture_signatures_and_estimates():
     assert m1[:6].tolist() == _PINNED_M1_PREFIX
 
 
+def test_ref_fixture_min_hash_64bit():
+    """test_min_hash (test.h:85-105): the XXStringViewHash64 variant — no
+    32-bit folds, same word sets.  Estimator within 3σ of exact; values
+    are full 61-bit residues (not masked)."""
+    m1 = ref_minhash_wordset(DATA_1, minhash_bits=64)
+    m2 = ref_minhash_wordset(DATA_2, minhash_bits=64)
+    est = float(np.mean(m1 == m2))
+    exact = _exact_jaccard(DATA_1, DATA_2)
+    assert abs(est - exact) <= 3 * np.sqrt(exact * (1 - exact) / 128) + 1e-9
+    assert m1.max() > 0xFFFFFFFF  # unmasked 61-bit values
+    assert (m1 < (1 << 61)).all()
+
+
 def test_ref_fixture_lsh_candidate_set():
     """LSH(threshold=0.7, weights={0.5,0.5}) over n_perm=128 → optimal
     (b, r); insert m2, m3; query m1 (lsh.h:112-159).  Candidate set and
