@@ -307,6 +307,99 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Money math in integer cents (prices/discounts are on a 0.01 grid): sums
+# stay exact integers in BOTH engines, immune to float summation order —
+# the only value-stable way to oracle-check multi-million-row aggregates.
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter → groupBy two low-card
+    keys with map-side partial aggregation.  At 100 TB this is the
+    canonical 'one wide scan, tiny result' query — the date filter and the
+    5-column projection must reach the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_units = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )  # price-cents × discount-basis-points → exact integer units
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc_units).alias("sum_disc_units"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join: fact lineitem joins orders, then the
+    customer→nation→region dimension chain — dims are explicitly
+    broadcast (at 10^12 rows the fact side must never shuffle for a
+    kilobyte dimension)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .alias("rev_units"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_regionkey"
+        )
+    )
+    region = F.broadcast(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum("rev_units").alias("revenue_units"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_tpch_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by revenue: fact-dim broadcast join → agg → global
+    ranked limit (ties broken by key for a total order)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+        .alias("rev_units"),
+    )
+    supp = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_suppkey", "s_name"
+        )
+    )
+    agg = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("rev_units").alias("revenue_units"))
+    )
+    w = Window.orderBy(F.desc("revenue_units"), F.asc("s_suppkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("s_suppkey", "s_name", "revenue_units", "rank")
+    )
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events table (events.py)."""
     from lshdedup.events import hourly_rollup
@@ -498,6 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wminhash_set_signatures": q_wminhash_set_signatures,
         "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprints": q_rolling_fingerprints,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_revenue_by_region": q_tpch_revenue_by_region,
+        "tpch_top_suppliers": q_tpch_top_suppliers,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_sessions": q_events_sessions,
         "events_topk_per_user": q_events_topk_per_user,
@@ -829,6 +925,43 @@ def oracle_sql() -> dict[str, str]:
             FROM e a CROSS JOIN e b
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity)::BIGINT) AS sum_qty,
+                   sum(round(l_extendedprice*100)::BIGINT) AS sum_base_cents,
+                   sum(round(l_extendedprice*100)::BIGINT
+                       * (100 - round(l_discount*100)::BIGINT)) AS sum_disc_units,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+            GROUP BY 1, 2
+        """,
+        "tpch_revenue_by_region": """
+            SELECT r_name,
+                   sum(round(l_extendedprice*100)::BIGINT
+                       * (100 - round(l_discount*100)::BIGINT)) AS revenue_units,
+                   count(*)::BIGINT AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "tpch_top_suppliers": """
+            WITH a AS (
+              SELECT s_suppkey, s_name,
+                     sum(round(l_extendedprice*100)::BIGINT
+                         * (100 - round(l_discount*100)::BIGINT)) AS revenue_units
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2
+            )
+            SELECT s_suppkey, s_name, revenue_units, rank::INT AS rank
+            FROM (SELECT *, row_number() OVER (ORDER BY revenue_units DESC,
+                                               s_suppkey ASC) AS rank
+                  FROM a)
+            WHERE rank <= 10
         """,
         "events_hourly_rollup": """
             SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,

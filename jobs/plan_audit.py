@@ -123,6 +123,27 @@ def main(out_path: str = "PLANS.md") -> int:
             "never a cartesian/broadcast-nested-loop product.",
         ))
 
+    # ---- relational breadth (TPC-H-shaped driver queries) ----
+    plan_q1 = plan_q5 = ""
+    if os.path.exists("/root/testdata/sf0.001/lineitem.parquet"):
+        import __spark_entry__ as entry_mod
+
+        sfd = "/root/testdata/sf0.001"
+        plan_q1 = captured_explain(entry_mod.q_tpch_pricing_summary(spark, sfd))
+        sections.append((
+            "TPC-H Q1-shaped pricing summary",
+            plan_q1,
+            "The date predicate must appear in PushedFilters at the parquet "
+            "scan and ReadSchema must exclude unused columns.",
+        ))
+        plan_q5 = captured_explain(entry_mod.q_tpch_revenue_by_region(spark, sfd))
+        sections.append((
+            "TPC-H Q5-shaped multi-way join",
+            plan_q5,
+            "Every dimension join is a BroadcastHashJoin; the fact scan "
+            "reads only (l_orderkey, l_extendedprice, l_discount).",
+        ))
+
     # ---- checks ----
     problems = []
     import re
@@ -145,6 +166,16 @@ def main(out_path: str = "PLANS.md") -> int:
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if bad in plan_ivf:
                 problems.append(f"IVF candidate join degenerated to {bad}")
+    if plan_q1 and "l_shipdate" not in "".join(
+        re.findall(r"PushedFilters: \[([^\]]*)\]", plan_q1)
+    ):
+        problems.append("Q1 date filter not pushed to the parquet scan")
+    if plan_q5:
+        if "BroadcastHashJoin" not in plan_q5:
+            problems.append("Q5 dimension joins are not broadcast")
+        for schema in re.findall(r"ReadSchema: (struct<l_[^>]*>)", plan_q5):
+            if "l_quantity" in schema or "l_shipdate" in schema:
+                problems.append(f"Q5 fact scan reads unused columns: {schema}")
 
     lines = [
         "# PLANS — physical-plan audit of the headline stages",
