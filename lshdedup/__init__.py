@@ -21,6 +21,6 @@ Design (see SURVEY.md):
     (the reference has none — single machine, restart from zero).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from lshdedup.config import DedupConfig  # noqa: F401

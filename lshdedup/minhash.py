@@ -98,6 +98,16 @@ def caption_signature_udf(cfg: DedupConfig):
         for batch in texts:
             raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
             flat, bounds = char_shingle_hashes(raw, k, hasher)
+            if scheme == "kperm-ref":
+                # reference parity for <k strings: split_k_shingling_fast
+                # returns the WHOLE short string unpadded
+                # (k_shingles.h:68-71); overwrite the padded-window hash.
+                # Scalar loop touches only the rare short rows.
+                from lshdedup.refrng import xxh64
+
+                for i, t in enumerate(raw):
+                    if len(t) < k:
+                        flat[bounds[i, 0]] = np.uint64(xxh64(t, 0))
             if elem_mod is not None:
                 flat = flat % np.uint64(elem_mod)
             out = minhash_segments(flat, bounds, a, b, vmask=vmask)
@@ -120,15 +130,26 @@ def token_hash_signature_udf(cfg: DedupConfig):
     def sig(hash_arrays: Iterator[pd.Series]) -> Iterator[pd.Series]:
         a, b = _perms(n_perm, seed, scheme)
         for batch in hash_arrays:
-            lens = np.fromiter((len(v) for v in batch), count=len(batch), dtype=np.int64)
-            lens = np.maximum(lens, 1)
-            offs = np.zeros(len(batch) + 1, dtype=np.int64)
+            arrs = [
+                np.asarray(v, dtype=np.int64).view(np.uint64)
+                if v is not None
+                else np.empty(0, dtype=np.uint64)
+                for v in batch
+            ]
+            real = np.fromiter((x.size for x in arrs), count=len(arrs), dtype=np.int64)
+            lens = np.maximum(real, 1)  # empty rows sign the {0} singleton
+            offs = np.zeros(len(arrs) + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
             flat = np.zeros(int(offs[-1]), dtype=np.uint64)
-            for i, v in enumerate(batch):
-                arr = np.asarray(v, dtype=np.int64).view(np.uint64)
-                if arr.size:
-                    flat[offs[i] : offs[i] + arr.size] = splitmix64(arr)
+            total = int(real.sum())
+            if total:
+                cat = np.concatenate([x for x in arrs if x.size])
+                # scatter the concatenated values into the padded layout —
+                # ONE splitmix pass for the whole batch, no per-row hashing
+                cum = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum(real[:-1], out=cum[1:])
+                tgt = np.repeat(offs[:-1] - cum, real) + np.arange(total, dtype=np.int64)
+                flat[tgt] = splitmix64(cat)
             bounds = np.stack([offs[:-1], offs[1:]], axis=1)
             out = minhash_segments(flat, bounds, a, b)
             yield _sig_to_series(out)

@@ -165,8 +165,8 @@ def test_kperm_ref_spark_path_equals_reference_math(spark):
         "the quick brown fox jumps over the lazy dog",
         "the quick brown fox jumped over a lazy dog",
         "completely different content here with no overlap at all",
-        "aa",  # shorter than k → single whole-string (padded) shingle
-        "",
+        "aa",  # shorter than k → single whole-string UNPADDED shingle
+        "",    # (split_k_shingling_fast, k_shingles.h:68-71)
     ]
     cfg = DedupConfig(k=5, n_perm=128, seed=1, sig_scheme="kperm-ref",
                       minhash_bits=32, use_phash=False)
@@ -177,8 +177,8 @@ def test_kperm_ref_spark_path_equals_reference_math(spark):
     }
     for i, t in enumerate(texts):
         raw = t.encode("utf-8")
-        if len(raw) < 5:  # the UDF's <k padding convention
-            shingles = {raw + b"\x00" * (5 - len(raw))}
+        if len(raw) < 5:  # whole short string, unpadded (k_shingles.h:68-71)
+            shingles = {raw}
         else:
             shingles = {raw[j : j + 5] for j in range(len(raw) - 4)}
         hs = np.fromiter(
