@@ -307,6 +307,93 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_dna(col) -> F.Column:
+    """Deterministic ACGT sequence derived from text (letters bucketed into
+    four base classes) — synthesises DNA-shaped input from the driver's
+    documents table so the DNA operator family (k_shingles.h:106-221) is
+    driver-checkable without external data.  Same chain re-expressed in the
+    oracle SQL."""
+    x = F.regexp_replace(col, "[a-gA-G]", "0")
+    x = F.regexp_replace(x, "[h-nH-N]", "1")
+    x = F.regexp_replace(x, "[o-tO-T]", "2")
+    x = F.regexp_replace(x, "[^012]", "3")
+    return F.translate(x, "0123", "ATCG")
+
+
+DNA_K = 6  # reference DNA config (dna_benchmark.h:36)
+
+
+def q_dna_kmer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-bit-packed DNA k-mer shingling (dna_shingling_encode +
+    split_dna_shingling, k_shingles.h:106-221): per-doc gram counts AND the
+    packed values' min/max — the oracle recomputes the exact packing
+    arithmetic, so the 2-bit encode itself is value-checked."""
+    from lshdedup.dna import dna_shingles_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _derived_dna(F.col("text")).alias("seq")
+    )
+    sh = dna_shingles_expr(F.col("seq"), DNA_K)
+    dsh = F.array_distinct(sh)
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_kmers"),
+        F.size(dsh).alias("n_distinct_kmers"),
+        F.array_min(sh).alias("min_packed"),
+        F.array_max(sh).alias("max_packed"),
+    )
+
+
+def q_dna_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship DNA dup-graph (dna_benchmark.h §3.1) over
+    the derived sequences: packed shingles → MinHash → LSH banding → exact
+    packed-shingle Jaccard verify.  At this banding (b=21, r=6, J ≥ 0.8)
+    collision probability at the threshold is ≈0.998, and on this corpus
+    the verified pair set equals the exact-Jaccard oracle set."""
+    from lshdedup.dna import dna_dup_graph
+
+    cfg = DedupConfig(
+        k=DNA_K, n_perm=128, seed=1, threshold=0.8, b=21, r=6, use_phash=False
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _derived_dna(F.col("text")).alias("seq")
+    )
+    return (
+        dna_dup_graph(d, cfg, id_col="doc_id", seq_col="seq")
+        .withColumn("sim", F.round("sim", 6))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _dna_oracle_prefix() -> str:
+    """Shared SQL: derived ACGT sequence + exact 2-bit packing per k-mer."""
+    code = "CASE {c} WHEN 'A' THEN 0 WHEN 'T' THEN 1 WHEN 'C' THEN 2 ELSE 3 END"
+    pack = " + ".join(
+        f"({code.format(c=f'substr(seq, i+{j}, 1)')}) * {4 ** (DNA_K - 1 - j)}"
+        for j in range(DNA_K)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 translate(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '[a-gA-G]', '0', 'g'),
+                       '[h-nH-N]', '1', 'g'),
+                     '[o-tO-T]', '2', 'g'),
+                   '[^012]', '3', 'g'),
+                 '0123', 'ATCG') AS seq
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, ({pack})::BIGINT AS pk
+          FROM (SELECT doc_id, seq,
+                       unnest(range(1, length(seq)-{DNA_K}+2)) AS i
+                FROM s)
+        )"""
+
+
 # Money math in integer cents (prices/discounts are on a 0.01 grid): sums
 # stay exact integers in BOTH engines, immune to float summation order —
 # the only value-stable way to oracle-check multi-million-row aggregates.
@@ -591,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wminhash_set_signatures": q_wminhash_set_signatures,
         "embedding_near_dups": q_embedding_near_dups,
         "rolling_fingerprints": q_rolling_fingerprints,
+        "dna_kmer_profile": q_dna_kmer_profile,
+        "dna_dup_pairs": q_dna_dup_pairs,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_revenue_by_region": q_tpch_revenue_by_region,
         "tpch_top_suppliers": q_tpch_top_suppliers,
@@ -925,6 +1014,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e a CROSS JOIN e b
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "dna_kmer_profile": _dna_oracle_prefix() + """
+            SELECT doc_id,
+                   count(*)::INT AS n_kmers,
+                   count(DISTINCT pk)::INT AS n_distinct_kmers,
+                   min(pk) AS min_packed,
+                   max(pk) AS max_packed
+            FROM g GROUP BY doc_id
+        """,
+        "dna_dup_pairs": _dna_oracle_prefix() + """,
+            d AS (SELECT DISTINCT doc_id, pk FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            i AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM d a JOIN d b USING (pk)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c::DOUBLE / (sa.n + sb.n - c), 6) AS sim
+            FROM i
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE 5*c >= 4*(sa.n + sb.n - c)
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -84,6 +84,18 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     entry_mod.q_lsh_dedup_pairs(spark, sf_dir).count()
     queries["doc_lsh_dedup"] = time.perf_counter() - t0
 
+    # --- doc_wminhash: batched set-variant CWS throughput (the stage the
+    # round-2 vectorization rewrote: per-row Python before, one numpy pass
+    # per Arrow batch now) ---
+    t0 = time.perf_counter()
+    entry_mod.q_wminhash_set_signatures(spark, sf_dir).select(F.max("sig_fp")).collect()
+    queries["doc_wminhash"] = time.perf_counter() - t0
+
+    # --- doc_rolling_fp: batched rolling-hash fingerprint stage ---
+    t0 = time.perf_counter()
+    entry_mod.q_rolling_fingerprints(spark, sf_dir).select(F.max("rfp")).collect()
+    queries["doc_rolling_fp"] = time.perf_counter() - t0
+
     # --- embedding_ann: SRP-bucketed top-k ---
     from lshdedup.ann import srp_topk
 
