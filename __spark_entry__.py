@@ -826,6 +826,38 @@ def _minhash_ref_oracle_sql() -> str:
     """
 
 
+def _simhash_oracle_sql() -> str:
+    """Value-level oracle for the SimHash fingerprints: FNV-1a gram hashes
+    (WITH multiplicity — votes are occurrence-weighted), 64 per-bit sums as
+    one aggregation pass, bit j set iff 2*sum_j > n_grams (the sign of the
+    ±1 vote total), packed little-endian with the int64 sign wrap for
+    bit 63."""
+    fnv = _fnv_sql("text", "i", DOC_CFG.k)
+    bitsums = ",\n".join(
+        f"sum(((h // {1 << j}::HUGEINT) % 2)::BIGINT) AS s{j}" for j in range(64)
+    )
+    packed = " + ".join(
+        f"CASE WHEN 2*s{j} > n THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(64)
+    )
+    return f"""
+        WITH gh AS (
+          SELECT doc_id, {fnv} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text)-{DOC_CFG.k}+2)) AS i
+                FROM documents)
+        ),
+        b AS (SELECT doc_id, count(*) AS n, {bitsums}
+              FROM gh GROUP BY doc_id),
+        p AS (SELECT doc_id, ({packed}) AS u FROM b)
+        SELECT doc_id,
+               (u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN 18446744073709551616::HUGEINT
+                         ELSE 0::HUGEINT END)::BIGINT AS simhash
+        FROM p
+    """
+
+
 def _dedup_clusters_oracle_sql(grams: str) -> str:
     """Connected components of the exact char-5-gram J>=0.8 pair graph via a
     recursive reachability CTE; cluster_id = min doc_id of the component
@@ -1127,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle_sql(),
         "minhash_ref_signatures": _minhash_ref_oracle_sql(),
+        "simhash_fingerprints": _simhash_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """
