@@ -858,6 +858,44 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _rolling_fp_oracle_sql(window: int = 16, keep_mod: int = 8) -> str:
+    """Value-level oracle for the winnowing rolling fingerprint: each
+    window hash is the 16-term polynomial Σ 257^(w-1-j)·byte[j] mod 2^64
+    (coefficients precomputed mod 2^64, every term < 2^72 so HUGEINT never
+    overflows); per doc, bit_xor of the hashes ≡ 0 (mod keep_mod), falling
+    back to min(hash) when none kept; int64 sign wrap at the end.  Valid
+    for docs of length >= window (the driver fixture's minimum is 44)."""
+    W = 1 << 64
+    coefs = [pow(257, window - 1 - j, W) for j in range(window)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {c}::HUGEINT"
+        for j, c in enumerate(coefs)
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, (({terms}) % {_W64}) AS rh
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text)-{window}+2)) AS i
+                FROM documents)
+        ),
+        agg AS (
+          SELECT doc_id,
+                 bit_xor(CASE WHEN rh % {keep_mod} = 0 THEN rh END) AS xorred,
+                 count(CASE WHEN rh % {keep_mod} = 0 THEN 1 END) AS kept,
+                 min(rh) AS mn
+          FROM h GROUP BY doc_id
+        ),
+        p AS (SELECT doc_id,
+                     CASE WHEN kept > 0 THEN xorred ELSE mn END AS u
+              FROM agg)
+        SELECT doc_id,
+               (u - CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN 18446744073709551616::HUGEINT
+                         ELSE 0::HUGEINT END)::BIGINT AS rfp
+        FROM p
+    """
+
+
 def _dedup_clusters_oracle_sql(grams: str) -> str:
     """Connected components of the exact char-5-gram J>=0.8 pair graph via a
     recursive reachability CTE; cluster_id = min doc_id of the component
@@ -1160,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle_sql(),
         "minhash_ref_signatures": _minhash_ref_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
+        "rolling_fingerprints": _rolling_fp_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """
