@@ -1150,7 +1150,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value), 6) AS total_value
+                   sum(round(value*100)::BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """

@@ -173,7 +173,12 @@ def train_ivf_centroids(
         .limit(n_sample)
         .collect()
     )
-    x = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    rows = [
+        np.asarray(r[vec_col], dtype=np.float64)
+        for r in sample
+        if r[vec_col] is not None and len(r[vec_col]) == dim
+    ]
+    x = np.array(rows)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.maximum(norms, 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -195,18 +200,30 @@ def ivf_cell_udf(centroids: np.ndarray, n_probe: int = 1):
     matmul per Arrow batch against the closed-over centroid matrix (the
     broadcast-free equivalent of broadcasting the quantizer)."""
     cent = np.asarray(centroids, dtype=np.float64)
+    dim = cent.shape[1]
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in batches:
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in batch])
-            if mat.size == 0:
+            n = len(batch)
+            # null / wrong-dimension rows get a zero vector and a null
+            # result (not a crash): one bad row must not kill the stage
+            mat = np.zeros((n, dim), dtype=np.float64)
+            bad = np.zeros(n, dtype=bool)
+            for i, v in enumerate(batch):
+                if v is None or len(v) != dim:
+                    bad[i] = True
+                else:
+                    mat[i] = v
+            if n == 0:
                 yield pd.Series([], dtype=object)
                 continue
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cent.T
             top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
-            yield pd.Series(list(top))
+            yield pd.Series(
+                [None if bad[i] else top[i] for i in range(n)], dtype=object
+            )
 
     return cells
 
@@ -235,10 +252,12 @@ def ivf_topk(
     q_assign = ivf_cell_udf(cent, n_probe)
     cb = corpus.withColumn("_cell", F.element_at(c_assign(F.col(cvec)), 1))
     qb = queries.withColumn("_cell", F.explode(q_assign(F.col(qvec))))
-    scored = (
-        qb.join(cb, "_cell")
-        .dropDuplicates([qid, cid])
-        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+    # no dropDuplicates: a corpus row lives in exactly ONE cell and a
+    # query's probe cells are distinct, so (qid, cid) cannot repeat — the
+    # dedup would add a full extra shuffle over the candidate set for
+    # nothing (contrast srp_topk, where a pair CAN collide in many bands)
+    scored = qb.join(cb, "_cell").withColumn(
+        "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
     )
     w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
     return (

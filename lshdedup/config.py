@@ -62,9 +62,10 @@ class DedupConfig:
     verify_mode: str = "exact"    # "minhash" | "exact" | "exact+simhash"
     simhash_max_hamming: int = 3
     lcs_min_ratio: float = 0.0    # >0 enables suffix-automaton LCS check
-    lcs_screen_slack: int = 4     # native pre-LCS screen slack: keep pairs
-                                  # with gram inter >= (ρ·min_len-k+1)/slack
-                                  # (verify.py; bounds the Python UDF input)
+    lcs_screen_slack: int = 4     # native pre-LCS screen slack (verify.py):
+                                  # keep pairs with gram inter within 1/slack
+                                  # of the length OR containment bound;
+                                  # <= 0 disables screening (full-cost scan)
 
     # --- execution ---
     run_id: str = "run0"

@@ -90,6 +90,7 @@ def dna_dup_graph(
     cfg,
     id_col: str = "read_id",
     seq_col: str = "seq",
+    persisted: list | None = None,
 ) -> DataFrame:
     """The reference's flagship DNA dup-graph pipeline (dna_benchmark.h
     §3.1) on Spark: packed shingles → token-hash MinHash signatures → LSH
@@ -107,8 +108,10 @@ def dna_dup_graph(
     signed = shingled.withColumn(
         "sig", token_hash_signature_udf(cfg)(F.col("sh"))
     ).persist()
+    if persisted is not None:
+        persisted.append(signed)
     buckets = explode_bands(signed, id_col, "sig", cfg)
-    pairs, _ = candidate_pairs(buckets, id_col, cfg)
+    pairs, _ = candidate_pairs(buckets, id_col, cfg, persisted=persisted)
     a = signed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = signed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

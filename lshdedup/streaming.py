@@ -147,8 +147,11 @@ class StreamingDedup:
                 .select("id_a", "id_b")
                 .dropDuplicates(["id_a", "id_b"])
             )
-        # insert-order half: pairs within this batch
-        cands_in_batch, _ = candidate_pairs(bands, idc, cfg)
+        # insert-order half: pairs within this batch (candidate_pairs
+        # persists its sized-bucket intermediate; track it so each
+        # micro-batch releases it — foreachBatch runs unbounded batches)
+        batch_persisted: list = []
+        cands_in_batch, _ = candidate_pairs(bands, idc, cfg, persisted=batch_persisted)
         cands = (
             cands_in_batch
             if cands_new_old is None
@@ -203,6 +206,8 @@ class StreamingDedup:
         signed.unpersist()
         bands.unpersist()
         cands.unpersist()
+        for df in batch_persisted:
+            df.unpersist()
         self._mark_done(batch_id)
         self._maybe_compact("buckets", batch_id)
         self._maybe_compact("docs", batch_id)

@@ -191,19 +191,32 @@ def verify_pairs(
     if cfg.lcs_min_ratio > 0:
         # The LCS channel must NOT disable the prefilter (the
         # suffix-automaton UDF is the most expensive stage; it has to see a
-        # bounded remnant, not every candidate).  Native screen: a common
-        # substring of length L contributes at most L-k+1 shared k-grams,
-        # so a pair that could reach lcs_ratio >= ρ has gram intersection
-        # near ceil(ρ·min_len)-k+1; keep pairs within a 1/slack factor of
-        # that bound.  Low-entropy repeats (few DISTINCT grams inside a
-        # long common substring) can fall below it — those are exactly the
-        # near-equal docs the simhash/phash terms of `pre` keep
-        # unconditionally.
-        min_len = F.least(
-            F.length(F.col(f"{text_col}_a")), F.length(F.col(f"{text_col}_b"))
-        )
-        required = F.ceil(F.lit(cfg.lcs_min_ratio) * min_len) - F.lit(cfg.k - 1)
-        pre = pre | (inter * F.lit(cfg.lcs_screen_slack) >= required)
+        # bounded remnant, not every candidate).  Native screen, a pair
+        # survives if EITHER holds within a 1/slack factor:
+        #   * absolute bound — a common substring of length L contributes
+        #     at most L-k+1 shared k-grams, so gram intersection near
+        #     ceil(ρ·min_len)-k+1;
+        #   * containment bound — the substring covers ≥ρ of the SMALLER
+        #     doc, so a large share of its DISTINCT grams is shared; this
+        #     keeps low-entropy docs (few distinct grams in a long repeat)
+        #     the absolute bound would drop.
+        # The screen is a heuristic (adversarial content can still evade
+        # it); lcs_screen_slack <= 0 disables it and restores the
+        # scan-every-candidate behavior at its full cost.
+        if cfg.lcs_screen_slack <= 0:
+            pre = F.lit(True)
+        else:
+            min_len = F.least(
+                F.length(F.col(f"{text_col}_a")), F.length(F.col(f"{text_col}_b"))
+            )
+            required = F.ceil(F.lit(cfg.lcs_min_ratio) * min_len) - F.lit(cfg.k - 1)
+            smaller_nsh = F.least(F.col("_nsh_a"), F.col("_nsh_b"))
+            slack = F.lit(cfg.lcs_screen_slack)
+            pre = (
+                pre
+                | (inter * slack >= required)
+                | (inter * slack >= F.lit(cfg.lcs_min_ratio) * smaller_nsh)
+            )
     out = out.filter(pre)
     union = F.col("_nsh_a") + F.col("_nsh_b") - inter
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)

@@ -122,3 +122,28 @@ def test_ivf_centroids_deterministic(spark):
     c1 = train_ivf_centroids(e, "vec_id", "v", 64, n_cells=8, seed=7)
     c2 = train_ivf_centroids(e.repartition(16), "vec_id", "v", 64, n_cells=8, seed=7)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_null_and_ragged_rows_skip_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from lshdedup.ann import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    # corpus with one NULL and one wrong-dimension vector injected
+    good = e.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    bad = spark.createDataFrame(
+        [(99990, None), (99991, [1.0, 2.0])],
+        "cid long, cvec array<double>",
+    )
+    res = ivf_topk(q, good.unionByName(bad), k=5, dim=64, n_cells=8, n_probe=4)
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r["cid"] < 99990 for r in rows)  # bad rows skipped, job alive

@@ -171,3 +171,13 @@ def test_maps_batch_equals_scalar_set_variant():
         else:
             want = wminhash_set(dict(mp), dim, m, seed=1)
             assert np.array_equal(got, want), mp
+
+
+def test_fnv_varlen_grouped_matches_scalar():
+    """Length-grouped processing (memory bound) is value-identical, even
+    when one pathological long token forces multiple groups."""
+    from lshdedup.hashing import fnv1a_bytes, fnv1a_varlen
+
+    toks = [b"a" * n for n in (0, 1, 3, 500, 7, 7, 2)] + [b"x" * 10_000]
+    got = fnv1a_varlen(toks, seed=1, max_matrix_bytes=4096)
+    assert got.tolist() == [fnv1a_bytes(t, 1) for t in toks]
