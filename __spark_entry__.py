@@ -1111,10 +1111,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(round(l_quantity)::BIGINT) AS sum_qty,
-                   sum(round(l_extendedprice*100)::BIGINT) AS sum_base_cents,
-                   sum(round(l_extendedprice*100)::BIGINT
-                       * (100 - round(l_discount*100)::BIGINT)) AS sum_disc_units,
+                   CAST(sum(round(l_quantity)::BIGINT) AS BIGINT) AS sum_qty,
+                   CAST(sum(round(l_extendedprice*100)::BIGINT) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(round(l_extendedprice*100)::BIGINT
+                       * (100 - round(l_discount*100)::BIGINT)) AS BIGINT) AS sum_disc_units,
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1997-09-01'
@@ -1122,8 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_revenue_by_region": """
             SELECT r_name,
-                   sum(round(l_extendedprice*100)::BIGINT
-                       * (100 - round(l_discount*100)::BIGINT)) AS revenue_units,
+                   CAST(sum(round(l_extendedprice*100)::BIGINT
+                       * (100 - round(l_discount*100)::BIGINT)) AS BIGINT) AS revenue_units,
                    count(*)::BIGINT AS n_lineitems
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -1135,8 +1135,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_suppliers": """
             WITH a AS (
               SELECT s_suppkey, s_name,
-                     sum(round(l_extendedprice*100)::BIGINT
-                         * (100 - round(l_discount*100)::BIGINT)) AS revenue_units
+                     CAST(sum(round(l_extendedprice*100)::BIGINT
+                         * (100 - round(l_discount*100)::BIGINT)) AS BIGINT) AS revenue_units
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY 1, 2
             )
@@ -1150,7 +1150,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
-                   sum(round(value*100)::BIGINT) AS total_value_cents
+                   CAST(sum(round(value*100)::BIGINT) AS BIGINT) AS total_value_cents
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
