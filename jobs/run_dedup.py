@@ -52,15 +52,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bucket-cap", type=int, default=4096)
     p.add_argument("--pair-salt", type=int, default=0)
     p.add_argument("--verify-mode", default="exact", choices=["minhash", "exact", "exact+simhash"])
-    p.add_argument("--sig-scheme", default="oph",
+    p.add_argument("--sig-scheme", default=None,
                    choices=["kperm", "kperm-ref", "oph"],
-                   help="oph = one-permutation hashing (the production/scale "
-                        "default for this JOB; note the DedupConfig LIBRARY "
-                        "default is kperm for reference-parity analytics — "
-                        "checkpoint fingerprints include the scheme, so "
-                        "mixing entry points recomputes, never corrupts); "
+                   help="default: the DedupConfig library default (one "
+                        "source of truth — CLI and library produce "
+                        "identical signatures unless this flag is set). "
                         "kperm = classic 128-permutation; kperm-ref = "
-                        "bit-exact reference parity (mt19937_64 + XXH64)")
+                        "bit-exact reference parity (mt19937_64 + XXH64); "
+                        "oph = one-permutation hashing, the recommended "
+                        "scale path for very large corpora")
     p.add_argument("--no-phash", action="store_true")
     p.add_argument("--master", help="override master (default: spark-submit's)")
     args = p.parse_args(argv)
@@ -101,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         bucket_cap=args.bucket_cap,
         pair_salt=args.pair_salt,
         verify_mode=args.verify_mode,
-        sig_scheme=args.sig_scheme,
+        sig_scheme=(args.sig_scheme if args.sig_scheme is not None
+                    else DedupConfig.sig_scheme),
         use_phash=not args.no_phash,
         checkpoint_dir=args.checkpoint_dir,
         run_id=args.run_id,

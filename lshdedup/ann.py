@@ -178,6 +178,11 @@ def train_ivf_centroids(
         for r in sample
         if r[vec_col] is not None and len(r[vec_col]) == dim
     ]
+    if not rows:
+        raise ValueError(
+            f"train_ivf_centroids: no valid {dim}-dim vectors in the "
+            f"training sample (corpus empty or all rows null/wrong-dim)"
+        )
     x = np.array(rows)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.maximum(norms, 1e-12)
@@ -247,7 +252,18 @@ def ivf_topk(
     n_probe/n_cells of the corpus per query instead of all of it —
     partition the corpus table by cell at rest and the probe becomes a
     partition-pruned scan."""
-    cent = train_ivf_centroids(corpus, cid, cvec, dim, n_cells, seed=seed)
+    try:
+        cent = train_ivf_centroids(corpus, cid, cvec, dim, n_cells, seed=seed)
+    except ValueError:
+        # degenerate corpus (empty, or no valid vectors): empty result
+        # with the output schema, not a crash
+        return (
+            queries.limit(0).select(qid)
+            .crossJoin(corpus.limit(0).select(cid))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+            .select(qid, cid, "cosine", "rank")
+        )
     c_assign = ivf_cell_udf(cent, 1)
     q_assign = ivf_cell_udf(cent, n_probe)
     cb = corpus.withColumn("_cell", F.element_at(c_assign(F.col(cvec)), 1))

@@ -61,11 +61,20 @@ class DedupConfig:
     # --- verification (dna_benchmark.h:197-225 + graft extensions) ---
     verify_mode: str = "exact"    # "minhash" | "exact" | "exact+simhash"
     simhash_max_hamming: int = 3
-    lcs_min_ratio: float = 0.0    # >0 enables suffix-automaton LCS check
+    lcs_min_ratio: float = 0.0    # >0 enables suffix-automaton LCS check.
+                                  # NOTE: with the default screen below,
+                                  # pairs whose common substring contributes
+                                  # few DISTINCT k-grams (mixed low/high-
+                                  # entropy docs) can be screened out — a
+                                  # recall heuristic, not an exact bound.
     lcs_screen_slack: int = 4     # native pre-LCS screen slack (verify.py):
                                   # keep pairs with gram inter within 1/slack
-                                  # of the length OR containment bound;
-                                  # <= 0 disables screening (full-cost scan)
+                                  # of the length OR containment bound.
+                                  # <= 0 disables screening: exact recall,
+                                  # but the suffix-automaton UDF then runs
+                                  # on EVERY candidate pair —
+                                  # O(candidates × |doc|) Python, a
+                                  # scale-killer on large corpora.
 
     # --- execution ---
     run_id: str = "run0"

@@ -18,10 +18,13 @@ def dense_row_ids(lines: DataFrame, out_col: str) -> DataFrame:
     cheap pre-pass, like RDD.zipWithIndex), then a window partitioned by
     spark_partition_id ranks rows inside each partition in parallel.
 
-    For file sources the (partition id, in-partition position) order IS
-    byte order, which is line order — so the assigned ids are independent
-    of the split count (spark.sql.files.maxPartitionBytes); pinned by
-    tests/test_dna_io.py.
+    For a SINGLE input file the (partition id, in-partition position)
+    order IS byte order, which is line order — so the assigned ids are
+    independent of the split count (spark.sql.files.maxPartitionBytes);
+    pinned by tests/test_dna_io.py.  Over a DIRECTORY of files Spark
+    plans splits in size-sorted (not name-sorted) file order, so ids are
+    dense and deterministic per plan but do not follow file-name order;
+    sort by input_file_name() first if that ordering matters.
     """
     tagged = lines.select(
         "*",

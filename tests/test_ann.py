@@ -147,3 +147,27 @@ def test_ivf_null_and_ragged_rows_skip_not_crash(spark):
     rows = res.collect()
     assert len(rows) > 0
     assert all(r["cid"] < 99990 for r in rows)  # bad rows skipped, job alive
+
+
+def test_ivf_degenerate_corpus_returns_empty(spark):
+    """Empty corpus / all-invalid vectors: ivf_topk returns an empty
+    result with the output schema instead of crashing in the k-means
+    trainer (np.array of zero rows)."""
+    from lshdedup.ann import ivf_topk, train_ivf_centroids
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 64)], "qid long, qvec array<double>"
+    )
+    empty = spark.createDataFrame([], "cid long, cvec array<double>")
+    res = ivf_topk(q, empty, k=5, dim=64, n_cells=8, n_probe=4)
+    assert res.columns == ["qid", "cid", "cosine", "rank"]
+    assert res.count() == 0
+
+    # all rows invalid (null or wrong-dim) behaves the same
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "cid long, cvec array<double>"
+    )
+    assert ivf_topk(q, bad, k=5, dim=64, n_cells=8, n_probe=4).count() == 0
+
+    with pytest.raises(ValueError, match="no valid"):
+        train_ivf_centroids(empty, "cid", "cvec", dim=64, n_cells=8)
