@@ -11,6 +11,9 @@ clustering) are registered without an oracle → rows-only check; their
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -654,6 +657,149 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup (LSH::query_then_insert, lsh.h:126-144)
+    driven END-TO-END under the driver: the documents table is split into
+    4 micro-batch files, consumed via Structured Streaming (availableNow,
+    one file per trigger), and the accumulated dup-pair store is returned.
+
+    The oracle is the SAME exact-Jaccard SQL as lsh_dedup_pairs: the
+    batch==stream equivalence (tests/test_streaming.py) guarantees the
+    streaming pair SET equals the batch pipeline's at DOC_CFG, and inter/
+    uni are recomputed here from the doc texts (not taken from the stream)
+    so the values are exact — a missed or spurious streaming pair shows up
+    as a row-count/hash mismatch.
+    """
+    import shutil
+
+    from lshdedup.shingle import distinct_char_shingles_expr
+    from lshdedup.streaming import StreamingDedup
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "lshdedup_stream_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # 4 deterministic micro-batch files (arrival order does not affect the
+    # final pair set; the ids in each wave interleave so both join halves —
+    # within-batch and new-vs-store — are exercised)
+    for i in range(4):
+        (
+            d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    dedup = StreamingDedup(
+        spark, DOC_CFG, os.path.join(base, "state"),
+        id_col="doc_id", text_col="text",
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup.start(stream, checkpoint=os.path.join(base, "ckpt"))
+    q.awaitTermination()
+
+    pairs = (
+        dedup.dup_pairs()
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = d.select(
+        "doc_id", distinct_char_shingles_expr(F.col("text"), 5).alias("sh")
+    ).withColumn("nsh", F.size("sh"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(
+            sets.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("nsh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("nsh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
+        )
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup pairs: decode the deterministic synthetic-codec
+    image corpus (synth.py; raw + lossy-quantized formats), compute DCT
+    pHashes via the mapInPandas plumbing (multimodal.image_features), and
+    emit hamming<=3 pairs WITHOUT an all-pairs comparison: the 64-bit
+    pHash splits into 4×16-bit bands, and hamming<=3 guarantees (pigeon-
+    hole) at least one band is equal, so a band equi-join finds every true
+    pair; candidates verify natively with bit_count(xor).  No SQL oracle —
+    the DCT is not reasonably SQL-expressible (rows-only by design);
+    recall/PSNR invariants are pytest-gated (test_multimodal.py).
+    sf_dir is unused: the corpus is synthesized deterministically (seeded),
+    so the result is stable across runs and processes.
+    """
+    from lshdedup.multimodal import image_features
+    from lshdedup.synth import SynthConfig, synth_corpus
+
+    corpus = synth_corpus(spark, SynthConfig(n_rows=512))
+    feats = image_features(corpus).select("image_id", "phash").persist()
+    bands = feats.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftrightunsigned(F.col("phash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bd"),
+    ).select("image_id", "phash", "bd.band_id", "bd.band_val")
+    a = bands.select(
+        F.col("image_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("image_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band_id",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_profile": q_shingle_profile,
@@ -688,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_user": q_events_topk_per_user,
         "events_json_extract": q_events_json_extract,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "streaming_dedup_pairs": q_streaming_dedup_pairs,
+        "multimodal_phash_pairs": q_multimodal_phash_pairs,
     }
 
 
@@ -946,7 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "len(list_filter(string_split(text,' '), x -> list_contains({fr}, lower(x)))) AS hits_fr"
     ).format(en=_sw_list(STOPWORDS_EN), es=_sw_list(STOPWORDS_ES), fr=_sw_list(STOPWORDS_FR))
 
-    return {
+    sql = {
         "shingle_profile": f"""
             {grams}
             SELECT doc_id,
@@ -1230,3 +1378,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, cid, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
         """,
     }
+    # the streaming pipeline must converge to EXACTLY the batch pipeline's
+    # verified pair set (batch==stream equivalence, tests/test_streaming.py),
+    # so it shares the lsh_dedup_pairs exact-Jaccard oracle verbatim
+    sql["streaming_dedup_pairs"] = sql["lsh_dedup_pairs"]
+    return sql
