@@ -78,12 +78,20 @@ def srp_signature_udf(dim: int, n_bits: int = 64, seed: int = 7):
 
     @F.pandas_udf(LongType())
     def srp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import pyarrow as pa
+
         h = _hyperplanes(dim, n_bits, seed)
         for batch in batches:
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in batch])
-            if mat.size == 0:
+            if len(batch) == 0:
                 yield pd.Series([], dtype=np.int64)
                 continue
+            # ListArray.flatten() → one contiguous value buffer; the
+            # reshape asserts every row has exactly dim elements (ragged
+            # or null vectors raise, same contract as before)
+            arr = pa.array(batch, type=pa.list_(pa.float64()), from_pandas=True)
+            mat = arr.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(batch), dim
+            )
             signs = (mat @ h) > 0
             packed = np.zeros(len(batch), dtype=np.uint64)
             for j in range(n_bits):

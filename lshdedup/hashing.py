@@ -113,27 +113,32 @@ def fnv1a_windows(windows: np.ndarray, seed: int = 0) -> np.ndarray:
     return h
 
 
-def fnv1a_varlen(
-    tokens: list[bytes], seed: int = 0, max_matrix_bytes: int = 32 << 20
+def fnv1a_flat(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    seed: int = 0,
+    max_matrix_bytes: int = 32 << 20,
 ) -> np.ndarray:
-    """FNV-1a 64 of each variable-length byte string → (n,) uint64,
-    equal element-wise to fnv1a_bytes (pinned by tests).  Vectorized
-    across tokens: a padded byte matrix, loop over the max token length
-    with a live-row mask — O(max_len) vector ops instead of O(total_bytes)
-    interpreted steps.
+    """FNV-1a 64 of each slice ``flat[starts[i] : starts[i]+lens[i]]`` →
+    (n,) uint64, equal element-wise to fnv1a_bytes (pinned by tests).
+    This is the offsets-form core — it consumes an Arrow-style
+    (value buffer, offsets) pair directly, so callers holding a
+    StringArray/BinaryArray never materialize per-token Python bytes.
 
-    The padded matrix is n_tokens × max_len, so ONE pathological long
-    token (a megabyte URL in a 100k-token batch) would otherwise inflate
-    it by orders of magnitude; tokens are therefore processed in
-    length-sorted groups whose matrix stays under ``max_matrix_bytes``,
-    which also keeps each group's padding waste small."""
-    n = len(tokens)
+    Vectorized across tokens: a padded byte matrix, loop over the max
+    token length with a live-row mask — O(max_len) vector ops instead of
+    O(total_bytes) interpreted steps.  The padded matrix is
+    n_tokens × max_len, so ONE pathological long token (a megabyte URL in
+    a 100k-token batch) would otherwise inflate it by orders of magnitude;
+    tokens are therefore processed in length-sorted groups whose matrix
+    stays under ``max_matrix_bytes``, which also keeps each group's
+    padding waste small."""
+    n = lens.size
     if n == 0:
         return np.empty(0, dtype=U64)
-    lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
     out = np.full(n, _FNV_OFFSET ^ U64(seed), dtype=U64)
-    L_all = int(lens.max())
-    if L_all == 0:
+    if int(lens.max()) == 0:
         return out
     order = np.argsort(lens, kind="stable")
     start = 0
@@ -153,12 +158,13 @@ def fnv1a_varlen(
             start = end
             continue
         buf = np.zeros((g, gmax), dtype=np.uint8)
-        flat = np.frombuffer(b"".join(tokens[i] for i in idx), dtype=np.uint8)
         rr = np.repeat(np.arange(g), glens)
-        cc = np.arange(flat.size, dtype=np.int64) - np.repeat(
+        total = int(glens.sum())
+        cc = np.arange(total, dtype=np.int64) - np.repeat(
             np.concatenate(([0], np.cumsum(glens[:-1]))), glens
         )
-        buf[rr, cc] = flat
+        src = np.repeat(starts[idx], glens) + cc
+        buf[rr, cc] = flat[src]
         h = np.full(g, _FNV_OFFSET ^ U64(seed), dtype=U64)
         for j in range(gmax):
             live = glens > j
@@ -167,6 +173,22 @@ def fnv1a_varlen(
         out[idx] = h
         start = end
     return out
+
+
+def fnv1a_varlen(
+    tokens: list[bytes], seed: int = 0, max_matrix_bytes: int = 32 << 20
+) -> np.ndarray:
+    """FNV-1a 64 of each variable-length byte string → (n,) uint64.
+    List-of-bytes convenience wrapper over fnv1a_flat (one C-level join
+    builds the flat buffer; the hashing itself is the shared padded-matrix
+    core)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return fnv1a_flat(flat, starts, lens, seed, max_matrix_bytes)
 
 
 def fnv1a_bytes(data: bytes, seed: int = 0) -> int:

@@ -221,29 +221,41 @@ def wminhash_set(weights: dict, dim: int, sample_size: int, seed: int = 1):
 
 
 def _maps_batch_to_sparse(batch: pd.Series, dim: int, seed: int):
-    """pd.Series of {token: weight} maps → ragged (idx, w, lens): one
-    vectorized FNV pass positions ALL tokens of the batch (content-derived,
-    same as weights_to_dense), then one np.unique + add.at combines
-    colliding positions per row.  idx ascending within each row (matches
+    """pd.Series of {token: weight} maps → ragged (idx, w, lens) with NO
+    Python-level per-row/per-token iteration: the Series converts to an
+    Arrow MapArray in C (pa.array), whose flattened UTF-8 key buffer +
+    offsets feed ONE fnv1a_flat pass (content-derived positions, same hash
+    as weights_to_dense), then np.unique + add.at combines colliding
+    positions per row.  idx ascending within each row (matches
     flatnonzero order, so argmin tie-breaks identically to the scalar
     path)."""
-    from lshdedup.hashing import fnv1a_varlen
+    import pyarrow as pa
+
+    from lshdedup.hashing import fnv1a_flat
 
     n = len(batch)
-    rows_l, toks_l, ws_l = [], [], []
-    for j, m in enumerate(batch):
-        if not m:
-            continue
-        for tok, wt in m.items():
-            rows_l.append(j)
-            toks_l.append(str(tok).encode("utf-8"))
-            ws_l.append(float(wt))
     lens = np.zeros(n, dtype=np.int64)
-    if not toks_l:
+    arr = pa.array(batch, type=pa.map_(pa.string(), pa.float64()), from_pandas=True)
+    moffs = arr.offsets.to_numpy().astype(np.int64)
+    per_row = np.diff(moffs)  # tokens per row (0 for null/empty maps)
+    if int(per_row.sum()) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), lens
-    rows = np.asarray(rows_l, dtype=np.int64)
-    ws = np.asarray(ws_l, dtype=np.float64)
-    pos = (fnv1a_varlen(toks_l, seed) % np.uint64(dim)).astype(np.int64)
+    keys = arr.keys
+    # freshly-built arrays are dense: the child holds exactly the ranged
+    # entries, so row attribution is a plain repeat over the offsets
+    assert moffs[0] == 0 and moffs[-1] == len(keys)
+    ws = arr.items.to_numpy(zero_copy_only=False).astype(np.float64)
+    koffs = np.frombuffer(keys.buffers()[1], dtype=np.int32).astype(np.int64)
+    koffs = koffs[keys.offset : keys.offset + len(keys) + 1]
+    kbuf = (
+        np.frombuffer(keys.buffers()[2], dtype=np.uint8)
+        if keys.buffers()[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    pos = (
+        fnv1a_flat(kbuf, koffs[:-1], np.diff(koffs), seed) % np.uint64(dim)
+    ).astype(np.int64)
     key = rows * dim + pos
     ukey, inv = np.unique(key, return_inverse=True)
     acc = np.zeros(ukey.size, dtype=np.float64)
@@ -257,10 +269,9 @@ def _maps_batch_to_sparse(batch: pd.Series, dim: int, seed: int):
 
 def wminhash_set_udf(dim: int, sample_size: int, seed: int = 1):
     """pandas UDF: map<string,int> token weights → array<long> packed CWS
-    signature (null for empty/all-zero maps).  Token hashing and CWS both
-    run once per Arrow batch (fnv1a_varlen + wminhash_batch) — the map
-    unpacking is the only per-row Python left, and it is O(tokens) list
-    appends, not hash/CWS math."""
+    signature (null for empty/all-zero maps).  Map unpacking (Arrow
+    offsets), token hashing (fnv1a_flat), and CWS (wminhash_batch) all run
+    once per Arrow batch — no Python-level per-row or per-token loops."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def wmh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
