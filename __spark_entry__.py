@@ -640,7 +640,16 @@ def q_wminhash_set_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-bucketed embedding near-dup pairs (ann.py scale path)."""
+    """SRP-bucketed embedding near-dup pairs (ann.py scale path).
+
+    Value-exact DuckDB oracle: the seeded hyperplane matrix is a
+    deterministic literal, so the oracle re-derives every sign bit, band,
+    candidate, and verified cosine in SQL.  Float-safety margins measured
+    on the sf0.01 fixture: min |dot(v, h_j)| = 6.6e-5 (sign bits), min
+    |cosine − 0.35| = 2.9e-5 (threshold), min distance of any relevant
+    cosine×1e6 from a .5 rounding boundary = 8.8e-5 — all ≥ 1e9× the
+    cross-engine summation-order error (~1e-14), so no bit, inclusion, or
+    6-decimal rounding can flip between engines."""
     from lshdedup.ann import embedding_near_dup_pairs
 
     e = _emb(spark, sf_dir).select(
@@ -1382,4 +1391,52 @@ def oracle_sql() -> dict[str, str]:
     # verified pair set (batch==stream equivalence, tests/test_streaming.py),
     # so it shares the lsh_dedup_pairs exact-Jaccard oracle verbatim
     sql["streaming_dedup_pairs"] = sql["lsh_dedup_pairs"]
+
+    # SRP near-dup oracle: the seeded hyperplane matrix is a deterministic
+    # literal (PCG64 seed 7), inlined as 64 list rows; the SQL re-derives
+    # sign bits (dot > 0), 32 × 2-bit bands (bit j weighted 1 << (j % 2)
+    # inside band j // 2 — exactly srp_bands_expr's shift/mask), the band
+    # equi-join candidate set, and the rounded-cosine >= 0.35 verify.
+    # Margins measured on the fixture (see q_embedding_near_dups): no sign
+    # bit, threshold inclusion, or rounding can flip between engines.
+    from lshdedup.ann import _hyperplanes
+
+    hmat = _hyperplanes(64, 64, 7)
+    hrows = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in hmat[i])}])"
+        for i in range(64)
+    )
+    sql["embedding_near_dups"] = f"""
+        WITH hmat(i, hrow) AS (VALUES
+                {hrows}),
+             hp AS (
+               SELECT hmat.i AS i, gs.j AS j, hrow[CAST(gs.j + 1 AS INT)] AS h
+               FROM hmat, (SELECT unnest(range(0, 64)) AS j) gs
+             ),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+             dots AS (
+               SELECT e.vec_id, hp.j,
+                      sum(e.v[CAST(hp.i + 1 AS INT)] * hp.h) AS dot
+               FROM e CROSS JOIN hp GROUP BY 1, 2
+             ),
+             bands AS (
+               SELECT vec_id, j // 2 AS band_id,
+                      CAST(sum(CASE WHEN dot > 0
+                                    THEN 1 << CAST(j % 2 AS INT)
+                                    ELSE 0 END) AS INT) AS band_val
+               FROM dots GROUP BY 1, 2
+             ),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bands a JOIN bands b USING (band_id, band_val)
+               WHERE a.vec_id < b.vec_id
+             )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+    """
     return sql
