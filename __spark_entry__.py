@@ -595,26 +595,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wminhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted MinHash (weight_minhash.h) over embedding magnitudes.
-    Output is the canonicalizable fingerprint shape (seeded gamma draws are
-    not SQL-expressible → rows-only check; values pinned in
-    tests/test_wminhash.py against the Σmin/Σmax oracle)."""
+    """Weighted MinHash (weight_minhash.h) over embedding magnitudes,
+    exploded to per-lane rows (vec_id, lane, sig) — 64,000 rows at sf0.01,
+    every packed (k*, t) lane value-checked against a DuckDB oracle that
+    re-derives Ioffe CWS in SQL from the inlined (64×128) r/ln_c/beta
+    sample matrices (deterministic PCG64 seed-1 literals).
+
+    Float-safety margins measured on the fixture: min distance of any
+    ln(w)/r + β from an integer = 4.8e-8 (a flip would change floor → t),
+    min gap between the smallest and second-smallest ln_a per lane =
+    5.0e-5 (a flip would change argmin → k*) — both ≥ 1e7× the ≤1-ulp
+    libm/summation divergence between engines, so no lane can differ."""
     from lshdedup.wminhash import wminhash_udf
 
     e = _emb(spark, sf_dir)
     absvec = F.transform(F.col("embedding"), lambda x: F.abs(x))
     sig = e.select("vec_id", wminhash_udf(64, 128)(absvec).alias("wmh_sig"))
     return sig.select(
-        "vec_id",
-        F.xxhash64("wmh_sig").alias("sig_fp"),
-        F.coalesce(F.size("wmh_sig"), F.lit(-1)).alias("n_lanes"),
+        "vec_id", F.posexplode("wmh_sig").alias("lane", "sig")
     )
 
 
 def q_wminhash_set_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based weighted MinHash (weight_minhash.h:173-243) over word-count
     maps, with content-derived positions instead of the reference's
-    order-dependent global map."""
+    order-dependent global map.
+
+    Rows-only by necessity (quantified): the same value-level CWS oracle
+    that covers the dense variant would need the 4096×128 sample matrices
+    inlined — 1.57M double literals ≈ 30 MB of SQL — which is impractical
+    to parse per driver run.  The math itself is identical to the dense
+    path (shared wminhash_batch), whose every lane IS value-checked in
+    wminhash_signatures; the map→position FNV projection is value-checked
+    by tests/test_wminhash.py (batch==scalar) and the fnv pins."""
     from lshdedup.wminhash import wminhash_set_udf
 
     counts = (
@@ -1438,5 +1451,65 @@ def oracle_sql() -> dict[str, str]:
         JOIN e ea ON ea.vec_id = id_a
         JOIN e eb ON eb.vec_id = id_b
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+    """
+
+    # dense-CWS oracle: the (64×128) r/ln_c/beta sample matrices are
+    # deterministic PCG64 seed-1 draws, inlined as 64 rows of three
+    # 128-element list literals; the SQL re-derives Ioffe CWS lane by
+    # lane — t = floor(ln w / r + β), ln_a = ln_c − (t − β)·r − r,
+    # k* = argmin (first-min tie-break = smallest dim index, matching
+    # np.argmin), packed (k* << 32) + zigzag(t).  Measured margins (see
+    # q_wminhash_signatures) guarantee no floor or argmin flip between
+    # engines.  The SET variant stays rows-only by necessity: its
+    # matrices are 4096×128 (1.5M doubles ≈ 30 MB of SQL literals).
+    from lshdedup.wminhash import random_samples
+
+    r_m, c_m, b_m = random_samples(64, 128, 1)
+
+    def _lst(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    cm_rows = ",\n                ".join(
+        f"({i}, {_lst(r_m[i])}, {_lst(c_m[i])}, {_lst(b_m[i])})"
+        for i in range(64)
+    )
+    sql["wminhash_signatures"] = f"""
+        WITH cm(i, rrow, crow, brow) AS (VALUES
+                {cm_rows}),
+             cws AS (
+               SELECT cm.i AS i, g.j AS j,
+                      rrow[CAST(g.j + 1 AS INT)] AS r,
+                      crow[CAST(g.j + 1 AS INT)] AS ln_c,
+                      brow[CAST(g.j + 1 AS INT)] AS beta
+               FROM cm, (SELECT unnest(range(0, 128)) AS j) g
+             ),
+             e AS (SELECT vec_id, CAST(embedding AS FLOAT[]) AS v
+                   FROM embeddings),
+             wx AS (
+               SELECT vec_id, gs.i AS i,
+                      CAST(abs(v[CAST(gs.i + 1 AS INT)]) AS DOUBLE) AS w
+               FROM e, (SELECT unnest(range(0, 64)) AS i) gs
+               WHERE abs(v[CAST(gs.i + 1 AS INT)]) > 0
+             ),
+             lanes AS (
+               SELECT wx.vec_id, cws.j AS lane, wx.i,
+                      floor(ln(wx.w) / cws.r + cws.beta) AS t,
+                      cws.ln_c
+                        - (floor(ln(wx.w) / cws.r + cws.beta) - cws.beta)
+                          * cws.r
+                        - cws.r AS ln_a
+               FROM wx JOIN cws ON cws.i = wx.i
+             ),
+             best AS (
+               SELECT vec_id, lane, i, t,
+                      row_number() OVER (PARTITION BY vec_id, lane
+                                         ORDER BY ln_a ASC, i ASC) AS rn
+               FROM lanes
+             )
+        SELECT vec_id, lane::INT AS lane,
+               (i::BIGINT << 32)
+                 + (CAST(abs(t) AS BIGINT) * 2
+                    + CASE WHEN t < 0 THEN 1 ELSE 0 END) AS sig
+        FROM best WHERE rn = 1
     """
     return sql
