@@ -257,3 +257,125 @@ def ref_lsh_query(query_sig: np.ndarray, corpus: dict, b: int, r: int) -> set:
         if qk & set(ref_band_hashes(sig, b, r)):
             out.add(label)
     return out
+
+
+# ------------------------------------------- libstdc++ <random> floats --
+# Bit-exact reproduction of the float-distribution chain the reference's
+# RandomSample (weight_minhash.h:12-35) draws from:
+#   std::gamma_distribution<float>(2, 1)        (Marsaglia-Tsang)
+#   std::normal_distribution<float>(0, 1)       (Marsaglia polar, cached)
+#   std::uniform_real_distribution<float>(0, 1) (generate_canonical)
+# as implemented by libstdc++ 12 (bits/random.tcc) compiled at default
+# -O2 for baseline x86-64 (no FMA -> strict IEEE single ops; float ops
+# emulated with np.float32 per-operation rounding, the C++ double
+# promotions with Python floats, and std::log(float) with glibc logf via
+# ctypes so every last ulp matches).  Goldens: tools/capture_ref_gamma.cpp
+# -> tests/fixtures/ref_gamma_golden.json, pinned by test_refparity.py.
+
+import ctypes
+import ctypes.util as _ctypes_util
+
+_F32 = np.float32
+_TWO64_F = np.float32(18446744073709551616.0)
+_ONE_MINUS_EPS_F = np.nextafter(np.float32(1.0), np.float32(0.0))
+
+
+@lru_cache(maxsize=1)
+def _libm_logf():
+    libm = ctypes.CDLL(_ctypes_util.find_library("m") or "libm.so.6")
+    fn = libm.logf
+    fn.restype = ctypes.c_float
+    fn.argtypes = [ctypes.c_float]
+    return fn
+
+
+def _logf(x) -> np.float32:
+    """glibc logf — exactly std::log(float)."""
+    return _F32(_libm_logf()(float(x)))
+
+
+def canonical_f32(gen: MT19937_64) -> np.float32:
+    """std::generate_canonical<float, 24, mt19937_64>: ONE raw draw,
+    float(u64) / 2^64f, clamped below 1.0f (random.tcc:3354)."""
+    s = np.uint64(gen()).astype(np.float32)  # direct u64->f32 C cast
+    ret = _F32(s / _TWO64_F)
+    return _ONE_MINUS_EPS_F if ret >= _F32(1.0) else ret
+
+
+class NormalF32:
+    """std::normal_distribution<float>(0,1): Marsaglia polar generating
+    pairs, second value cached across calls (random.tcc:1808-1841)."""
+
+    def __init__(self):
+        self.saved: np.float32 | None = None
+
+    def __call__(self, gen: MT19937_64) -> np.float32:
+        if self.saved is not None:
+            ret, self.saved = self.saved, None
+            return ret
+        while True:
+            # 2.0f * canonical - 1.0 (double) stored to float == one
+            # float rounding (the double intermediate is exact)
+            x = _F32(_F32(_F32(2.0) * canonical_f32(gen)) - _F32(1.0))
+            y = _F32(_F32(_F32(2.0) * canonical_f32(gen)) - _F32(1.0))
+            r2 = _F32(_F32(x * x) + _F32(y * y))
+            if not (r2 > _F32(1.0) or r2 == _F32(0.0)):
+                break
+        # sqrt(-2 * logf(r2) / r2): int(-2) promotes to float
+        mult = _F32(np.sqrt(_F32(_F32(_F32(-2.0) * _logf(r2)) / r2)))
+        self.saved = _F32(x * mult)
+        return _F32(y * mult)
+
+
+class GammaF32:
+    """std::gamma_distribution<float>(alpha, 1) for alpha >= 1:
+    Marsaglia-Tsang with the double-promoted acceptance comparisons of
+    random.tcc:2360-2398.  Holds its own cached normal (as the C++ object
+    does), so interleaving with other draws preserves the cache state."""
+
+    def __init__(self, alpha: float = 2.0):
+        assert alpha >= 1.0, "alpha<1 branch (pow) not needed by the reference"
+        malpha = _F32(alpha)
+        self.a1 = _F32(malpha - _F32(_F32(1.0) / _F32(3.0)))
+        self.a2 = _F32(_F32(1.0) / _F32(np.sqrt(_F32(_F32(9.0) * self.a1))))
+        self.nd = NormalF32()
+
+    def __call__(self, gen: MT19937_64) -> np.float32:
+        a1_d = float(self.a1)
+        while True:
+            while True:
+                n = self.nd(gen)
+                v = _F32(_F32(1.0) + _F32(self.a2 * n))
+                if v > _F32(0.0):
+                    break
+            v = _F32(_F32(v * v) * v)
+            u = canonical_f32(gen)
+            n_d = float(n)
+            cond1 = float(u) > 1.0 - 0.0331 * n_d * n_d * n_d * n_d
+            if not cond1:
+                break
+            rhs = 0.5 * n_d * n_d + a1_d * ((1.0 - float(v)) + float(_logf(v)))
+            if not (float(_logf(u)) > rhs):
+                break
+        return _F32(self.a1 * v)  # * beta(=1.0f)
+
+
+def ref_random_samples(
+    dim: int, sample_size: int, seed: int = 1
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The reference RandomSample's exact (r_k, ln_c_k, beta_k) float32
+    matrices (weight_minhash.h:22-33): one mt19937_64(seed), one shared
+    gamma_distribution<float>(2,1) (its normal cache persists across the
+    r and ln_c draws), one uniform_real_distribution<float>(0,1),
+    column-major fill."""
+    gen = MT19937_64(seed)
+    gamma = GammaF32(2.0)
+    r = np.empty((dim, sample_size), dtype=np.float32)
+    ln_c = np.empty((dim, sample_size), dtype=np.float32)
+    beta = np.empty((dim, sample_size), dtype=np.float32)
+    for j in range(sample_size):
+        for i in range(dim):
+            r[i, j] = gamma(gen)
+            ln_c[i, j] = _logf(gamma(gen))
+            beta[i, j] = canonical_f32(gen)
+    return r, ln_c, beta

@@ -37,8 +37,27 @@ FLT_MIN = np.float32(1.175494e-38)  # zero-weight stand-in (weight_minhash.h:85)
 
 
 @lru_cache(maxsize=4)
-def random_samples(dim: int, sample_size: int, seed: int = 1):
-    """Dense CWS sample matrices (weight_minhash.h:12-35)."""
+def random_samples(dim: int, sample_size: int, seed: int = 1, scheme: str = "pcg64"):
+    """Dense CWS sample matrices (weight_minhash.h:12-35).
+
+    scheme="pcg64" (default): fast vectorized PCG64 draws — statistically
+    equivalent, the scale path.
+    scheme="ref": the reference's EXACT float32 matrices — mt19937_64 +
+    libstdc++-12 gamma/normal/uniform_real<float> reproduced bit-for-bit
+    (refrng.ref_random_samples, pinned against a compiled-C++ golden) and
+    upcast to float64 for the CWS math.  The remaining (documented)
+    difference from the reference is update-arithmetic precision only:
+    the reference computes t/ln_a in Eigen float32, this engine in
+    float64."""
+    if scheme == "ref":
+        from lshdedup.refrng import ref_random_samples
+
+        r32, c32, b32 = ref_random_samples(dim, sample_size, seed)
+        return (
+            r32.astype(np.float64),
+            c32.astype(np.float64),
+            b32.astype(np.float64),
+        )
     rng = np.random.Generator(np.random.PCG64(seed))
     r = rng.gamma(2.0, 1.0, size=(dim, sample_size))
     ln_c = np.log(rng.gamma(2.0, 1.0, size=(dim, sample_size)))
@@ -51,11 +70,15 @@ def _pack(k: np.ndarray, t: np.ndarray) -> np.ndarray:
     return (k.astype(np.int64) << 32) | tz
 
 
-def wminhash_dense(weights: np.ndarray, dim: int, sample_size: int, seed: int = 1):
+def wminhash_dense(
+    weights: np.ndarray, dim: int, sample_size: int, seed: int = 1,
+    scheme: str = "pcg64",
+):
     """CWS signature of one dense weight vector → packed (k*, t) int64
     array, or None for an all-zero vector (update fails,
-    weight_minhash.h:80-83)."""
-    r, ln_c, beta = random_samples(dim, sample_size, seed)
+    weight_minhash.h:80-83).  scheme="ref" uses the reference's bit-exact
+    sample matrices (see random_samples)."""
+    r, ln_c, beta = random_samples(dim, sample_size, seed, scheme)
     w = np.asarray(weights, dtype=np.float64)
     active = np.flatnonzero(w > 0)
     if active.size == 0:
@@ -99,6 +122,7 @@ def wminhash_batch(
     sample_size: int,
     seed: int = 1,
     chunk_rows: int = 64,
+    scheme: str = "pcg64",
 ):
     """Batched CWS over a ragged sparse batch — the vectorized form of
     calling wminhash_dense per row (identical outputs, pinned by
@@ -115,7 +139,7 @@ def wminhash_batch(
     tensors are bounded (chunk_rows × A_max × S) so worker memory stays
     flat regardless of batch size.
     """
-    r_all, ln_c_all, beta_all = random_samples(dim, sample_size, seed)
+    r_all, ln_c_all, beta_all = random_samples(dim, sample_size, seed, scheme)
     n = lens.shape[0]
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])

@@ -210,3 +210,83 @@ def test_elem_fold_and_vmask_change_results():
 # query returns the empty set — a bit-exact property, not a bug.
 _PINNED_M1_PREFIX = [557099689, 114169224, 16587347, 370299435, 181140127, 14488485]
 _PINNED_QUERY_RESULT: set = set()
+
+
+# ------------------------- WMH RandomSample parity (weight_minhash.h) --
+GAMMA_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "ref_gamma_golden.json"
+)
+
+
+@pytest.fixture(scope="module")
+def gamma_golden():
+    with open(GAMMA_FIXTURE) as f:
+        return json.load(f)
+
+
+def _f32_bits(x) -> int:
+    import struct
+
+    return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+
+def test_gamma_float_matches_compiled_libstdcxx(gamma_golden):
+    """std::gamma_distribution<float>(2,1) on mt19937_64(1): bit-exact vs
+    the compiled-C++ golden (tools/capture_ref_gamma.cpp, g++ 12)."""
+    from lshdedup.refrng import MT19937_64, GammaF32
+
+    gen = MT19937_64(gamma_golden["seed"])
+    g = GammaF32(2.0)
+    got = [_f32_bits(g(gen)) for _ in range(len(gamma_golden["gamma_bits"]))]
+    assert got == gamma_golden["gamma_bits"]
+
+
+def test_normal_float_matches_compiled_libstdcxx(gamma_golden):
+    """normal_distribution<float>(0,1) incl. the Marsaglia-polar cache."""
+    from lshdedup.refrng import MT19937_64, NormalF32
+
+    gen = MT19937_64(gamma_golden["seed"])
+    nd = NormalF32()
+    got = [_f32_bits(nd(gen)) for _ in range(len(gamma_golden["normal_bits"]))]
+    assert got == gamma_golden["normal_bits"]
+
+
+def test_uniform_real_float_matches_compiled_libstdcxx(gamma_golden):
+    """uniform_real_distribution<float>(0,1) == generate_canonical<float,24>."""
+    from lshdedup.refrng import MT19937_64, canonical_f32
+
+    gen = MT19937_64(gamma_golden["seed"])
+    got = [
+        _f32_bits(canonical_f32(gen))
+        for _ in range(len(gamma_golden["uniform_bits"]))
+    ]
+    assert got == gamma_golden["uniform_bits"]
+
+
+def test_ref_random_samples_matches_compiled_libstdcxx(gamma_golden):
+    """The full RandomSample fill chain (weight_minhash.h:22-33): shared
+    gamma normal-cache across r/ln_c draws, column-major order."""
+    from lshdedup.refrng import ref_random_samples
+
+    dim, s = gamma_golden["dim"], gamma_golden["sample_size"]
+    r, ln_c, beta = ref_random_samples(dim, s, gamma_golden["seed"])
+    assert [_f32_bits(x) for x in r.flatten()] == gamma_golden["r_bits"]
+    assert [_f32_bits(x) for x in ln_c.flatten()] == gamma_golden["ln_c_bits"]
+    assert [_f32_bits(x) for x in beta.flatten()] == gamma_golden["beta_bits"]
+
+
+def test_wminhash_ref_scheme_deterministic():
+    """scheme='ref' runs the CWS pipeline on the reference's matrices and
+    the batch path equals the scalar path on them."""
+    from lshdedup.wminhash import wminhash_batch, wminhash_dense
+
+    w = np.array([0.5, 0.0, 2.0, 1.25])
+    a = wminhash_dense(w, 4, 8, seed=1, scheme="ref")
+    b = wminhash_dense(w, 4, 8, seed=1, scheme="ref")
+    assert a is not None and np.array_equal(a, b)
+    act = np.flatnonzero(w > 0)
+    sigs = wminhash_batch(
+        act.astype(np.int64), w[act], np.array([act.size]), 4, 8,
+        seed=1, scheme="ref",
+    )
+    assert np.array_equal(sigs[0], a)
