@@ -219,6 +219,25 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         write_synth_corpus(n_images, corpus_path)
+
+    def _hw_probe() -> dict | None:
+        """Pair the engine measurement with an independent hardware probe
+        (tools/host_probe.py) so BENCH_SCALING.json self-documents the
+        hypervisor window it ran in.  Skippable: LSHDEDUP_SKIP_PROBE=1."""
+        if os.environ.get("LSHDEDUP_SKIP_PROBE"):
+            return None
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "host_probe.py")
+        out = subprocess.run(
+            [sys.executable, probe, str(lo), str(hi)],
+            capture_output=True, text=True,
+        )
+        try:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            return None
+
+    probe_before = _hw_probe()
     results = {}
     for cpus in (lo, hi):
         out = subprocess.run(
@@ -235,6 +254,7 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
                 f"pipeline-only cpus={cpus} exited {out.returncode}"
             )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    probe_after = _hw_probe()
     t_lo = results[lo]["wall_sec"]
     t_hi = results[hi]["wall_sec"]
     ratio = hi / lo
@@ -245,6 +265,8 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
         f"local{hi}": results[hi],
         f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "hw_probe_before": probe_before,
+        "hw_probe_after": probe_after,
     }
 
 
