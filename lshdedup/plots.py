@@ -209,3 +209,27 @@ def lsh_benchmark_plots(rows: list, out_dir: str) -> dict:
         os.path.join(out_dir, "lsh_f_score.svg"),
     )
     return {"performance": perf, "f_score": fsc}
+
+
+def wminhash_benchmark_plot(rows: list, out_dir: str) -> str:
+    """The reference's weight-minhash benchmark figure
+    (weight_minhash_benchmark.h:89-113): subplot 1 = mean update time per
+    n_sample, subplot 2 = mean |estimated − exact| generalized-Jaccard
+    error per n_sample (the data tests/test_wminhash.py's error benchmark
+    computes).  ``rows``: dicts with n_sample, update_ms, mean_abs_error.
+    """
+    rows = sorted(rows, key=lambda r: r["n_sample"])
+    xs = [r["n_sample"] for r in rows]
+    return save_figure(
+        [
+            Panel("weight minhash performance benchmark",
+                  [Series("mean update time", xs,
+                          [r["update_ms"] for r in rows])],
+                  xlabel="n_sample", ylabel="time (ms)"),
+            Panel("weight minhash accurate benchmark",
+                  [Series("abs mean error", xs,
+                          [r["mean_abs_error"] for r in rows])],
+                  xlabel="n_sample", ylabel="abs mean error"),
+        ],
+        os.path.join(out_dir, "weight_minhash_benchmark.svg"),
+    )

@@ -63,3 +63,18 @@ def test_deterministic_output(tmp_path):
     b = lsh_benchmark_plots(ROWS, str(tmp_path / "b"))
     assert open(a["performance"]).read() == open(b["performance"]).read()
     assert open(a["f_score"]).read() == open(b["f_score"]).read()
+
+
+def test_wminhash_benchmark_plot(tmp_path):
+    from lshdedup.plots import wminhash_benchmark_plot
+
+    rows = [
+        {"n_sample": 64, "update_ms": 0.9, "mean_abs_error": 0.051},
+        {"n_sample": 128, "update_ms": 1.7, "mean_abs_error": 0.036},
+        {"n_sample": 256, "update_ms": 3.2, "mean_abs_error": 0.027},
+    ]
+    path = wminhash_benchmark_plot(rows, str(tmp_path))
+    svg = open(path).read()
+    ET.fromstring(svg)
+    assert svg.count("<polyline") == 2  # one per subplot
+    assert "abs mean error" in svg and "n_sample" in svg
