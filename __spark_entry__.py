@@ -697,9 +697,13 @@ def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lshdedup.shingle import distinct_char_shingles_expr
     from lshdedup.streaming import StreamingDedup
 
+    # pid-scoped so concurrent drivers on the same fixture cannot rmtree
+    # each other's live streaming state; same-process reruns still reset
     base = os.path.join(
         tempfile.gettempdir(),
-        "lshdedup_stream_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        "lshdedup_stream_q_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")

@@ -52,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bucket-cap", type=int, default=4096)
     p.add_argument("--pair-salt", type=int, default=0)
     p.add_argument("--verify-mode", default="exact", choices=["minhash", "exact", "exact+simhash"])
-    p.add_argument("--sig-scheme", default=None,
+    from lshdedup.config import DedupConfig
+
+    p.add_argument("--sig-scheme", default=DedupConfig.sig_scheme,
                    choices=["kperm", "kperm-ref", "oph"],
                    help="default: the DedupConfig library default (one "
                         "source of truth — CLI and library produce "
@@ -67,7 +69,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from lshdedup.config import DedupConfig
     from lshdedup.pipeline import dedup_pipeline
 
     builder = SparkSession.builder.appName(f"lshdedup-{args.run_id}")
@@ -101,8 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         bucket_cap=args.bucket_cap,
         pair_salt=args.pair_salt,
         verify_mode=args.verify_mode,
-        sig_scheme=(args.sig_scheme if args.sig_scheme is not None
-                    else DedupConfig.sig_scheme),
+        sig_scheme=args.sig_scheme,
         use_phash=not args.no_phash,
         checkpoint_dir=args.checkpoint_dir,
         run_id=args.run_id,

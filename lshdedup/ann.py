@@ -263,8 +263,11 @@ def ivf_topk(
     try:
         cent = train_ivf_centroids(corpus, cid, cvec, dim, n_cells, seed=seed)
     except ValueError:
-        # degenerate corpus (empty, or no valid vectors): empty result
-        # with the output schema, not a crash
+        # a genuinely empty corpus degrades to an empty result with the
+        # output schema; a NON-empty corpus whose rows all fail the dim
+        # check is a misconfiguration (wrong `dim`) and must stay loud
+        if corpus.limit(1).count() > 0:
+            raise
         return (
             queries.limit(0).select(qid)
             .crossJoin(corpus.limit(0).select(cid))

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from xml.sax.saxutils import escape
 
 # validated palette (light surface #fcfcfb): slots assigned in fixed order
 SERIES_COLORS = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
@@ -72,6 +73,12 @@ def _render_panel(p: Panel, x0: int, y0: int, w: int, h: int) -> list[str]:
     pw, ph = w - ml - mr, h - mt - mb
     all_x = [x for s in p.series for x in s.xs]
     all_y = [y for s in p.series for y in s.ys]
+    if not all_x:
+        # empty panel (failed/empty benchmark): a labeled placeholder,
+        # not a crash at the plotting step
+        return [f'<text x="{x0 + w / 2:.0f}" y="{y0 + h / 2:.0f}" '
+                f'text-anchor="middle" fill="{INK_2}" font-size="12">'
+                f'{escape(p.title)}: no data</text>']
     xt = _nice_ticks(min(all_x), max(all_x))
     yt = _nice_ticks(min(min(all_y), 0.0) if min(all_y) > 0 else min(all_y),
                      max(all_y))
@@ -85,7 +92,7 @@ def _render_panel(p: Panel, x0: int, y0: int, w: int, h: int) -> list[str]:
         return py + ph - (v - ylo) / (yhi - ylo or 1) * ph
 
     out = [f'<text x="{x0 + w / 2:.0f}" y="{y0 + 22}" text-anchor="middle" '
-           f'fill="{INK}" font-size="14" font-weight="600">{p.title}</text>']
+           f'fill="{INK}" font-size="14" font-weight="600">{escape(p.title)}</text>']
     # recessive grid + tick labels (ink tokens, not series color)
     for t in yt:
         y = sy(t)
@@ -102,12 +109,12 @@ def _render_panel(p: Panel, x0: int, y0: int, w: int, h: int) -> list[str]:
     if p.xlabel:
         out.append(f'<text x="{px + pw / 2:.0f}" y="{py + ph + 38}" '
                    f'text-anchor="middle" fill="{INK_2}" font-size="12">'
-                   f'{p.xlabel}</text>')
+                   f'{escape(p.xlabel)}</text>')
     if p.ylabel:
         out.append(f'<text x="{x0 + 16}" y="{py + ph / 2:.0f}" '
                    f'text-anchor="middle" fill="{INK_2}" font-size="12" '
                    f'transform="rotate(-90 {x0 + 16} {py + ph / 2:.0f})">'
-                   f'{p.ylabel}</text>')
+                   f'{escape(p.ylabel)}</text>')
     # series: 2px lines, 8px (r=4) markers, fixed-order colors
     for si, s in enumerate(p.series):
         color = SERIES_COLORS[si % len(SERIES_COLORS)]
@@ -124,7 +131,7 @@ def _render_panel(p: Panel, x0: int, y0: int, w: int, h: int) -> list[str]:
         est_w = 6.2 * len(s.name)
         if sx(ex) + 10 + est_w <= x0 + w - 4:
             out.append(f'<text x="{sx(ex) + 10:.1f}" y="{sy(ey) + 4:.1f}" '
-                       f'fill="{INK}" font-size="11">{s.name}</text>')
+                       f'fill="{INK}" font-size="11">{escape(s.name)}</text>')
     # legend for >= 2 series (inside the plot, top-left, where long
     # benchmark names cannot overflow the figure)
     if len(p.series) >= 2:
@@ -137,13 +144,15 @@ def _render_panel(p: Panel, x0: int, y0: int, w: int, h: int) -> list[str]:
             out.append(f'<circle cx="{px + 20}" cy="{ly}" r="4" '
                        f'fill="{color}" stroke="{SURFACE}" stroke-width="2"/>')
             out.append(f'<text x="{px + 38}" y="{ly + 4}" fill="{INK}" '
-                       f'font-size="11">{s.name}</text>')
+                       f'font-size="11">{escape(s.name)}</text>')
     return out
 
 
 def svg_figure(panels: list, width: int = 800, height: int = 600) -> str:
     """Render stacked panels (the reference's plt::subplot layout) to one
     standalone SVG string — deterministic, dependency-free."""
+    if not panels:
+        raise ValueError("svg_figure: at least one panel required")
     ph = height // len(panels)
     body = []
     for i, p in enumerate(panels):

@@ -268,6 +268,11 @@ def _maps_batch_to_sparse(batch: pd.Series, dim: int, seed: int):
     # freshly-built arrays are dense: the child holds exactly the ranged
     # entries, so row attribution is a plain repeat over the offsets
     assert moffs[0] == 0 and moffs[-1] == len(keys)
+    if arr.items.null_count:
+        # fail loudly like the scalar path's float(None) did — a null
+        # weight silently becoming NaN would be dropped by the acc > 0
+        # filter and take valid colliding weights with it
+        raise TypeError("null weight value in token map")
     ws = arr.items.to_numpy(zero_copy_only=False).astype(np.float64)
     koffs = np.frombuffer(keys.buffers()[1], dtype=np.int32).astype(np.int64)
     koffs = koffs[keys.offset : keys.offset + len(keys) + 1]

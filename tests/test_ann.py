@@ -150,9 +150,10 @@ def test_ivf_null_and_ragged_rows_skip_not_crash(spark):
 
 
 def test_ivf_degenerate_corpus_returns_empty(spark):
-    """Empty corpus / all-invalid vectors: ivf_topk returns an empty
-    result with the output schema instead of crashing in the k-means
-    trainer (np.array of zero rows)."""
+    """Empty corpus: ivf_topk returns an empty result with the output
+    schema instead of crashing in the k-means trainer (np.array of zero
+    rows).  A NON-empty corpus whose rows are all invalid is a `dim`
+    misconfiguration and stays a loud ValueError."""
     from lshdedup.ann import ivf_topk, train_ivf_centroids
 
     q = spark.createDataFrame(
@@ -163,11 +164,12 @@ def test_ivf_degenerate_corpus_returns_empty(spark):
     assert res.columns == ["qid", "cid", "cosine", "rank"]
     assert res.count() == 0
 
-    # all rows invalid (null or wrong-dim) behaves the same
+    # rows exist but none survive the dim check -> misconfiguration, loud
     bad = spark.createDataFrame(
         [(1, None), (2, [1.0, 2.0])], "cid long, cvec array<double>"
     )
-    assert ivf_topk(q, bad, k=5, dim=64, n_cells=8, n_probe=4).count() == 0
+    with pytest.raises(ValueError, match="no valid"):
+        ivf_topk(q, bad, k=5, dim=64, n_cells=8, n_probe=4)
 
     with pytest.raises(ValueError, match="no valid"):
         train_ivf_centroids(empty, "cid", "cvec", dim=64, n_cells=8)

@@ -3,17 +3,25 @@
 BASELINE.md's scaling methodology requires pairing every N-vs-4N engine
 run with an independent probe of what the *hypervisor* currently allows:
 P worker processes each run a fixed amount of in-place uint64 math on a
-warmed buffer; the aggregate element throughput at P=2 vs P=8 bounds the
-scaling efficiency ANY job can exhibit in the current window.  A pair is
-only worth launching when hw_eff_2to8 is comfortably above the 0.8 gate
-(the engine can't out-scale the host).
+pre-allocated, pre-warmed buffer; the aggregate element throughput at
+P=2 vs P=8 bounds the scaling efficiency ANY job can exhibit in the
+current window.  A pair is only worth launching when hw_eff is
+comfortably above the 0.8 gate (the engine can't out-scale the host).
+
+Measurement hygiene (this sandbox's first-touch faults cost ~66-170 s/GB,
+so they must stay OUT of the timed window):
+  * each worker allocates and warms its buffer BEFORE a shared barrier;
+  * all workers release from the barrier together and time ONLY the math;
+  * the aggregate window is the max of the per-worker math times (workers
+    are concurrent by construction), so allocation skew and pool startup
+    never contaminate the number;
+  * each level runs twice, max taken, with hi/lo order interleaved so
+    neither level is credited with a quieter moment.
 
 Usage:  python tools/host_probe.py            # one 2-vs-8 measurement
         python tools/host_probe.py 4 16       # custom lo/hi process counts
 
-Each level is measured twice (max taken) to shed pool-warmup noise; the
-run order interleaves hi/lo to avoid crediting either level with a
-quieter moment.  Prints one JSON line.
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -28,14 +36,22 @@ import numpy as np
 N_ELEMS = 8_000_000
 N_ITERS = 40
 
+_barrier = None
+
+
+def _init(barrier) -> None:
+    global _barrier
+    _barrier = barrier
+
 
 def _work(n: int) -> float:
     x = np.arange(N_ELEMS, dtype=np.uint64)
     mul = np.uint64(6364136223846793005)
     add = np.uint64(1442695040888963407)
-    for _ in range(2):  # warm pages + cache
+    for _ in range(4):  # touch every page + warm cache, OUTSIDE the clock
         x *= mul
         x += add
+    _barrier.wait()  # all workers start the timed section together
     t0 = time.perf_counter()
     for _ in range(n):
         x *= mul
@@ -44,13 +60,12 @@ def _work(n: int) -> float:
 
 
 def aggregate_throughput(p: int, n: int = N_ITERS) -> float:
-    """Aggregate uint64 elems/sec across p concurrent processes."""
-    with mp.Pool(p) as pool:
-        pool.map(_work, [4] * p)  # pool warmup
-        t0 = time.perf_counter()
-        pool.map(_work, [n] * p)
-        wall = time.perf_counter() - t0
-    return p * n * N_ELEMS / wall
+    """Aggregate uint64 elems/sec across p concurrent processes, timing
+    only the barrier-synchronized math section."""
+    barrier = mp.Barrier(p)  # fork start method: inherited via _init
+    with mp.Pool(p, initializer=_init, initargs=(barrier,)) as pool:
+        times = pool.map(_work, [n] * p, chunksize=1)
+    return p * n * N_ELEMS / max(times)
 
 
 def main(lo: int = 2, hi: int = 8) -> dict:
