@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-FLT_MIN = np.float32(1.175494e-38)  # zero-weight stand-in (weight_minhash.h:85)
+# zero-weight stand-in (weight_minhash.h:85): numeric_limits<float>::min()
+# = 2^-126 exactly (a truncated literal like 1.175494e-38 rounds to a
+# DENORMAL below FLT_MIN and would break bit-parity)
+FLT_MIN = np.finfo(np.float32).tiny
 
 
 @lru_cache(maxsize=4)
@@ -45,10 +48,16 @@ def random_samples(dim: int, sample_size: int, seed: int = 1, scheme: str = "pcg
     scheme="ref": the reference's EXACT float32 matrices — mt19937_64 +
     libstdc++-12 gamma/normal/uniform_real<float> reproduced bit-for-bit
     (refrng.ref_random_samples, pinned against a compiled-C++ golden) and
-    upcast to float64 for the CWS math.  The remaining (documented)
-    difference from the reference is update-arithmetic precision only:
-    the reference computes t/ln_a in Eigen float32, this engine in
-    float64."""
+    upcast to float64 for the CWS math.  Two (documented) differences
+    from the reference remain on the default path: (1) update-arithmetic
+    precision — the reference computes t/ln_a in Eigen float32, this
+    engine in float64; (2) zero-weight handling — the reference
+    substitutes FLT_MIN for zero weights and keeps those dims in the
+    argmin (weight_minhash.h:85-95) while this engine excludes them
+    (active = w > 0), so in pathological cases (extreme r draws,
+    denormal-scale weights) k* could differ.  scheme="ref" therefore
+    guarantees matrix parity, not full signature parity; use
+    wminhash_dense_f32ref for bit-exact update semantics as well."""
     if scheme == "ref":
         from lshdedup.refrng import ref_random_samples
 
@@ -91,6 +100,37 @@ def wminhash_dense(
     k_star = np.argmin(ln_a, axis=0)
     cols = np.arange(sample_size)
     return _pack(active[k_star], t[k_star, cols])
+
+
+def wminhash_dense_f32ref(
+    weights, dim: int, sample_size: int, seed: int = 1
+):
+    """Bit-exact float32 realization of the reference's dense update
+    (weight_minhash.h:78-106): zero weights → FLT_MIN substitution KEPT
+    in the argmin (not excluded), every op in IEEE float32, log = glibc
+    logf — the scalar-libm semantics pinned end-to-end by the compiled
+    golden tools/capture_ref_wmh.cpp → tests/fixtures/ref_wmh_golden.json.
+    Returns (k*, t) int64 arrays, or None for an all-zero vector (update
+    returns false, weight_minhash.h:80-83).
+
+    This is the parity-audit path; the scale path (wminhash_batch) keeps
+    float64 + zero-exclusion.  Caveat: a reference binary built with
+    Eigen SIMD packet-math log() could differ from glibc logf by ulps —
+    the sample matrices are bit-exact either way."""
+    from lshdedup.refrng import _logf, ref_random_samples
+
+    r, ln_c, beta = ref_random_samples(dim, sample_size, seed)  # float32
+    w = np.asarray(weights, dtype=np.float32)
+    if not np.any(w != 0):
+        return None
+    w = np.where(w == 0, FLT_MIN, w)
+    lw = np.array([_logf(x) for x in w], dtype=np.float32)[:, None]
+    t = np.floor(lw / r + beta)          # all float32, matches Eigen ArrayXf
+    ln_y = (t - beta) * r
+    ln_a = ln_c - ln_y - r
+    k = np.argmin(ln_a, axis=0)          # first-min, same as minCoeff
+    cols = np.arange(sample_size)
+    return k.astype(np.int64), t[k, cols].astype(np.int64)
 
 
 def wminhash_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -186,20 +226,33 @@ def wminhash_batch(
 
 def _dense_batch_to_sparse(batch: pd.Series):
     """pd.Series of dense float arrays → ragged (idx, w, lens) of the
-    strictly-positive entries (None rows → lens 0)."""
-    idx_parts, w_parts, lens = [], [], np.zeros(len(batch), dtype=np.int64)
-    for j, v in enumerate(batch):
-        if v is None:
-            continue
-        a = np.asarray(v, dtype=np.float64)
-        act = np.flatnonzero(a > 0)
-        lens[j] = act.size
-        if act.size:
-            idx_parts.append(act.astype(np.int64))
-            w_parts.append(a[act])
-    idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, dtype=np.int64)
-    w = np.concatenate(w_parts) if w_parts else np.empty(0, dtype=np.float64)
-    return idx, w, lens
+    strictly-positive entries (None rows → lens 0).
+
+    No per-row Python: the Series converts to an Arrow ListArray in C,
+    then one flat ``> 0`` mask + bincount recovers per-row active counts
+    and within-row positions (flatten() is row-major, so idx stays
+    ascending per row — same order as np.flatnonzero in the scalar
+    path)."""
+    import pyarrow as pa
+
+    n = len(batch)
+    arr = pa.array(batch, type=pa.list_(pa.float64()), from_pandas=True)
+    per_row = (
+        arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if int(per_row.sum()) != len(flat):
+        raise ValueError(
+            f"list lengths ({int(per_row.sum())}) disagree with flattened "
+            f"values ({len(flat)})"
+        )
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(per_row[:-1], out=starts[1:])
+    within = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, per_row)
+    act = flat > 0
+    lens = np.bincount(rows[act], minlength=n).astype(np.int64)
+    return within[act], flat[act], lens
 
 
 def wminhash_udf(dim: int, sample_size: int, seed: int = 1):
@@ -266,8 +319,14 @@ def _maps_batch_to_sparse(batch: pd.Series, dim: int, seed: int):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), lens
     keys = arr.keys
     # freshly-built arrays are dense: the child holds exactly the ranged
-    # entries, so row attribution is a plain repeat over the offsets
-    assert moffs[0] == 0 and moffs[-1] == len(keys)
+    # entries, so row attribution is a plain repeat over the offsets.
+    # ValueError (not assert) — stripped asserts under -O would let a
+    # sliced MapArray silently mis-attribute tokens to rows.
+    if moffs[0] != 0 or moffs[-1] != len(keys):
+        raise ValueError(
+            "non-dense MapArray child (sliced input?): offsets "
+            f"[{moffs[0]}, {moffs[-1]}] vs {len(keys)} keys"
+        )
     if arr.items.null_count:
         # fail loudly like the scalar path's float(None) did — a null
         # weight silently becoming NaN would be dropped by the acc > 0
