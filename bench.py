@@ -84,11 +84,28 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     entry_mod.q_lsh_dedup_pairs(spark, sf_dir).count()
     queries["doc_lsh_dedup"] = time.perf_counter() - t0
 
-    # --- doc_wminhash: batched set-variant CWS throughput (the stage the
-    # round-2 vectorization rewrote: per-row Python before, one numpy pass
-    # per Arrow batch now) ---
+    # --- doc_wminhash: batched set-variant CWS throughput at the library
+    # default wm_dim=4096 (the stage the round-2 vectorization rewrote).
+    # Built inline: the driver query moved to wm_dim=64 for its SQL oracle
+    # (round 4), and the bench workload must stay round-comparable. ---
+    from lshdedup.wminhash import wminhash_set_udf
+
     t0 = time.perf_counter()
-    entry_mod.q_wminhash_set_signatures(spark, sf_dir).select(F.max("sig_fp")).collect()
+    wm_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("int").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tok"), F.col("w")))
+            ).alias("wmap")
+        )
+    )
+    wm_sig = wm_counts.select(
+        "doc_id", wminhash_set_udf(4096, 128)(F.col("wmap")).alias("wmh_sig")
+    )
+    wm_sig.select(F.max(F.xxhash64("wmh_sig"))).collect()
     queries["doc_wminhash"] = time.perf_counter() - t0
 
     # --- doc_rolling_fp: batched rolling-hash fingerprint stage ---
