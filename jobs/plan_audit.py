@@ -81,7 +81,7 @@ def main(out_path: str = "PLANS.md") -> int:
 
     # ---- round-2 operators: events + IVF ----
     events_path = "/root/testdata/sf0.001/events.parquet"
-    plan_rollup = plan_sessions = plan_ivf = ""
+    plan_rollup = plan_sessions = plan_ivf = plan_ivfs = ""
     if os.path.exists(events_path):
         from lshdedup.events import hourly_rollup, sessionize
 
@@ -121,6 +121,20 @@ def main(out_path: str = "PLANS.md") -> int:
             plan_ivf,
             "Candidate generation is an equi-join on the coarse cell id — "
             "never a cartesian/broadcast-nested-loop product.",
+        ))
+        from lshdedup.ann import ivf_topk_seeded
+
+        plan_ivfs = captured_explain(
+            ivf_topk_seeded(q, c, k=5, n_cells=8, n_probe=2)
+        )
+        sections.append((
+            "Seeded-IVF ANN top-k (oracle-checkable variant)",
+            plan_ivfs,
+            "Centroid pick must be TakeOrderedAndProject (per-partition "
+            "top-k, no global sort Exchange); the n_cells-row centroid "
+            "attach is an intentional bounded broadcast product; the "
+            "candidate join is an equi-join on the cell id, never a "
+            "CartesianProduct.",
         ))
 
     # ---- relational breadth (TPC-H-shaped driver queries) ----
@@ -166,6 +180,11 @@ def main(out_path: str = "PLANS.md") -> int:
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if bad in plan_ivf:
                 problems.append(f"IVF candidate join degenerated to {bad}")
+    if plan_ivfs:
+        if "TakeOrderedAndProject" not in plan_ivfs:
+            problems.append("seeded-IVF centroid pick is not TakeOrderedAndProject")
+        if "CartesianProduct" in plan_ivfs:
+            problems.append("seeded-IVF plan contains a CartesianProduct")
     if plan_q1 and "l_shipdate" not in "".join(
         re.findall(r"PushedFilters: \[([^\]]*)\]", plan_q1)
     ):
