@@ -820,9 +820,7 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lshdedup.multimodal import image_features
     from lshdedup.synth import SynthConfig, synth_corpus
 
-    n_docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).count()
+    n_docs = _docs(spark, sf_dir).count()
     corpus = synth_corpus(spark, SynthConfig(n_rows=max(256, min(8192, n_docs))))
     # materialize the tiny (image_id, phash) table driver-side instead of
     # persist(): no executor memory pinned for the rest of the session,
@@ -1506,8 +1504,9 @@ def oracle_sql() -> dict[str, str]:
     # k* = argmin (first-min tie-break = smallest dim index, matching
     # np.argmin), packed (k* << 32) + zigzag(t).  Measured margins (see
     # q_wminhash_signatures) guarantee no floor or argmin flip between
-    # engines.  The SET variant stays rows-only by necessity: its
-    # matrices are 4096×128 (1.5M doubles ≈ 30 MB of SQL literals).
+    # engines.  The SET variant's driver check runs at wm_dim=64 so the
+    # SAME matrices cover it (oracle below); only the library-default
+    # dim=4096 configuration would need 1.5M literals.
     from lshdedup.wminhash import random_samples
 
     r_m, c_m, b_m = random_samples(64, 128, 1)

@@ -124,17 +124,31 @@ def main(out_path: str = "PLANS.md") -> int:
         ))
         from lshdedup.ann import ivf_topk_seeded
 
+        # the centroid pick runs eagerly inside ivf_topk_seeded (n_cells
+        # rows materialized driver-side), so audit its plan separately
+        plan_pick = captured_explain(
+            c.select(
+                F.md5(F.col("cid").cast("string")).alias("_ckey"), "cvec"
+            )
+            .orderBy("_ckey")
+            .limit(8)
+        )
+        sections.append((
+            "Seeded-IVF centroid pick (eager, driver-side)",
+            plan_pick,
+            "Must be TakeOrderedAndProject — per-partition top-k + driver "
+            "merge, no global sort Exchange.",
+        ))
         plan_ivfs = captured_explain(
             ivf_topk_seeded(q, c, k=5, n_cells=8, n_probe=2)
         )
         sections.append((
             "Seeded-IVF ANN top-k (oracle-checkable variant)",
             plan_ivfs,
-            "Centroid pick must be TakeOrderedAndProject (per-partition "
-            "top-k, no global sort Exchange); the n_cells-row centroid "
-            "attach is an intentional bounded broadcast product; the "
-            "candidate join is an equi-join on the cell id, never a "
-            "CartesianProduct.",
+            "Exactly two bounded broadcast products (the n_cells-row "
+            "centroid attaches); the candidate join is a hash equi-join "
+            "on the cell id — never a CartesianProduct and never a third "
+            "nested-loop join.",
         ))
 
     # ---- relational breadth (TPC-H-shaped driver queries) ----
@@ -181,10 +195,20 @@ def main(out_path: str = "PLANS.md") -> int:
             if bad in plan_ivf:
                 problems.append(f"IVF candidate join degenerated to {bad}")
     if plan_ivfs:
-        if "TakeOrderedAndProject" not in plan_ivfs:
+        if "TakeOrderedAndProject" not in plan_pick:
             problems.append("seeded-IVF centroid pick is not TakeOrderedAndProject")
         if "CartesianProduct" in plan_ivfs:
             problems.append("seeded-IVF plan contains a CartesianProduct")
+        # the two centroid attaches are the ONLY nested-loop joins allowed;
+        # a third means the candidate equi-join degenerated to a full scan
+        # count operator detail headers "(N) BroadcastNestedLoopJoin" —
+        # each join also appears once in the tree rendering
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan_ivfs))
+        if n_bnlj > 2:
+            problems.append(
+                f"seeded-IVF plan has {n_bnlj} nested-loop joins "
+                "(candidate join degenerated?)"
+            )
     if plan_q1 and "l_shipdate" not in "".join(
         re.findall(r"PushedFilters: \[([^\]]*)\]", plan_q1)
     ):

@@ -174,12 +174,14 @@ def train_ivf_centroids(
     nearest-centroid-by-L2 == nearest-by-cosine.  Returns (n_cells, dim)
     unit centroids."""
     # deterministic sample: smallest n_sample ids by hash (no RNG, no
-    # partition-order dependence).  NO global sort: count the table (scan +
-    # partial agg only), keep rows whose hash falls in the lowest slice of
-    # the uniform hash range (a pushed filter), and finish the top-k on the
-    # driver over the ~1.3×n_sample survivors.  The rare statistical
-    # shortfall falls back to Spark's TakeOrderedAndProject (per-partition
-    # top-k + driver merge — still not a full Exchange).
+    # partition-order dependence).  NO full sort: count the table (scan +
+    # partial agg only), pre-prune with a pushed filter on the lowest
+    # slice of the uniform hash range, then finish with orderBy+limit —
+    # which Spark plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge, no global Exchange) and which hard-caps driver intake
+    # at n_sample rows even when duplicate/low-cardinality ids clump the
+    # hash distribution.  The rare statistical shortfall (filter too
+    # tight) retries without the pre-filter, still TakeOrdered-bounded.
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -193,11 +195,14 @@ def train_ivf_centroids(
     frac = min(1.0, (1.3 * n_sample + 64.0) / n_rows)
     # clamp: frac == 1.0 would put the cutoff at 2^63, one past int64
     cutoff = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
-    sample = hashed.filter(F.col("_h") < F.lit(cutoff)).collect()
+    sample = (
+        hashed.filter(F.col("_h") < F.lit(cutoff))
+        .orderBy("_h", "_id")
+        .limit(n_sample)
+        .collect()
+    )
     if len(sample) < min(n_sample, n_rows):
         sample = hashed.orderBy("_h", "_id").limit(n_sample).collect()
-    sample.sort(key=lambda r: (r["_h"], str(r["_id"])))
-    sample = sample[:n_sample]
     rows = [
         np.asarray(r["_v"], dtype=np.float64)
         for r in sample
@@ -345,18 +350,24 @@ def ivf_topk_seeded(
     is TakeOrderedAndProject (per-partition top-k, no global Exchange),
     assignment is a broadcast join of n_cells rows against one corpus scan,
     and the probe join scans ~n_probe/n_cells of the corpus per query."""
-    cents = (
+    # centroid pick: TakeOrderedAndProject (per-partition top-k, no global
+    # Exchange), materialized ONCE driver-side (n_cells rows) so the two
+    # crossJoin consumers below don't each recompute the corpus top-k
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent_rows = (
         corpus.select(
-            F.col(cid).alias("_tmp_cid"),
             F.col(cvec).alias("centv"),
             F.md5(F.col(cid).cast("string")).alias("_ckey"),
         )
         .orderBy("_ckey")
         .limit(n_cells)
+        .collect()
     )
-    w_cent = Window.orderBy("_ckey")
-    cents = cents.withColumn("cent_id", F.row_number().over(w_cent) - 1).select(
-        "cent_id", "centv"
+    vec_field = corpus.select(F.col(cvec).alias("centv")).schema["centv"]
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, r["centv"]) for i, r in enumerate(cent_rows)],
+        StructType([StructField("cent_id", IntegerType(), False), vec_field]),
     )
     sim = F.round(cosine_expr(F.col(cvec), F.col("centv")), 6)
     w_assign = Window.partitionBy(cid).orderBy(F.desc("_csim"), F.col("cent_id"))

@@ -347,10 +347,29 @@ def test_wmh_update_f32_matches_compiled_reference_semantics(wmh_golden):
         assert t.tolist() == case["sig_t"], case["name"]
 
 
-def test_wmh_f32ref_zero_handling_differs_from_default_path():
-    """Documents WHY the f32ref path exists: FLT_MIN-substituted zero dims
-    stay in the reference's argmin, the default path excludes them — both
-    deterministic, evaluated on the same bit-exact matrices."""
-    from lshdedup.wminhash import FLT_MIN
+def test_wmh_f32ref_zero_handling_differs_from_default_path(monkeypatch):
+    """The f32ref path KEEPS FLT_MIN-substituted zero dims in the argmin
+    (weight_minhash.h:85-95); the default path excludes them (active =
+    w > 0).  Crafted sample matrices force the divergence: give the
+    zero-weight dim a huge r so its ln_a ≈ ln_c + r(β−1) is the minimum —
+    f32ref must select it, which an exclusion path never could."""
+    import lshdedup.refrng as refrng
+    from lshdedup.wminhash import FLT_MIN, wminhash_dense_f32ref
 
     assert FLT_MIN == np.float32(2.0) ** -126  # exact FLT_MIN, not denormal
+
+    dim, s = 2, 4
+    r = np.ones((dim, s), dtype=np.float32)
+    r[0, :] = 1000.0
+    ln_c = np.zeros((dim, s), dtype=np.float32)
+    beta = np.full((dim, s), 0.5, dtype=np.float32)
+    monkeypatch.setattr(
+        refrng, "ref_random_samples", lambda d, n, seed=1: (r, ln_c, beta)
+    )
+    # dim0: w=0 → FLT_MIN, ln_a = 0 − (0−0.5)·1000 − 1000 = −500
+    # dim1: w=1,            ln_a = 0 − (0−0.5)·1    − 1    = −0.5
+    k, t = wminhash_dense_f32ref([0.0, 1.0], dim, s, 1)
+    assert (k == 0).all(), "FLT_MIN-substituted zero dim must stay in argmin"
+    assert (t == 0).all()
+    # all-zero still fails the update even with substitution semantics
+    assert wminhash_dense_f32ref([0.0, 0.0], dim, s, 1) is None
