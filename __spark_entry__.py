@@ -802,33 +802,82 @@ def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multimodal driver corpus: images per group of 4 ids share FNV-derived
+# pixels; every 3rd image is stored lossy (qnt) so in-group pairs span
+# exact AND near-exact pHash matches.  16×16, clamped corpus size.
+MM_GROUP = 4
+MM_IMG = 16
+MM_N_MIN, MM_N_MAX = 256, 2048
+
+
+def _mm_pixels(i: int) -> "np.ndarray":
+    """Deterministic 16×16 uint8 image for corpus row i: pixel p of group
+    g = i//4 is FNV-1a-64(f"{g}:{p}") mod 256 — re-derivable in ANSI SQL
+    (list_reduce over the key's bytes), unlike the PCG64 pixels of
+    synth.py."""
+    import numpy as np
+
+    from lshdedup.hashing import fnv1a_bytes
+
+    g = i // MM_GROUP
+    return np.array(
+        [fnv1a_bytes(f"{g}:{p}".encode()) % 256 for p in range(MM_IMG * MM_IMG)],
+        dtype=np.uint8,
+    ).reshape(MM_IMG, MM_IMG)
+
+
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal near-dup pairs: decode the deterministic synthetic-codec
-    image corpus (synth.py; raw + lossy-quantized formats), compute DCT
-    pHashes via the mapInPandas plumbing (multimodal.image_features), and
-    emit hamming<=3 pairs WITHOUT an all-pairs comparison: the 64-bit
-    pHash splits into 4×16-bit bands, and hamming<=3 guarantees (pigeon-
-    hole) at least one band is equal, so a band equi-join finds every true
-    pair; candidates verify natively with bit_count(xor).  No SQL oracle —
-    the DCT is not reasonably SQL-expressible (rows-only by design);
-    recall/PSNR invariants are pytest-gated (test_multimodal.py).
-    The corpus is synthesized deterministically (seeded) at a row count
-    derived from sf_dir's documents table (clamped to [256, 8192]), so
-    the multimodal check exercises the same data volume as the other
-    driver queries while staying stable across runs and processes.
+    """Multimodal near-dup pairs, VALUE-EXACT checkable (round 4; was
+    rows-only): binary image corpus → codec decode → DCT pHash via the
+    mapInPandas plumbing (multimodal.image_features) → 4×16-bit band
+    equi-join (pigeonhole: hamming≤3 ⇒ ≥1 equal band — never all-pairs)
+    → native bit_count(xor) verify.
+
+    The oracle re-derives the ENTIRE chain in SQL: FNV pixels, qnt
+    decode arithmetic, the 32×32-resample-DCT folded into an 8×16 matrix
+    E (E[u,y] = D32[u,2y] + D32[u,2y+1] — exact, since the resample
+    duplicates each source pixel 2×2), freq = E·px·Eᵀ as two join-
+    aggregates, median threshold over the 63 AC coefficients, bit
+    packing, banding, and the hamming filter.  The corpus pixels are
+    FNV-derived from the row id (SQL-expressible, unlike synth.py's
+    PCG64 corpus, which remains the bench/pytest workload), groups of
+    4 ids share pixels, and every 3rd image is stored lossy (qnt) so the
+    pair set exercises both exact and near-exact matches.  Corpus size
+    tracks sf_dir's documents count (clamped [256, 2048]).
+
+    Float-safety margins measured on the sf0.01 corpus (500 images, raw
+    and qnt variants): min |coeff − median| over non-median AC
+    coefficients = 1.2e-2, no exact non-self ties — ~5e10× the measured
+    cross-engine summation error (2.5e-13), so no bit can flip.  Two
+    DuckDB-internal hazards are handled in the oracle itself: the middle
+    element is taken by exact rank (median() interpolates) and the vals
+    CTE is MATERIALIZED (see the SQL comments).
     """
+    import pandas as pd
+
+    from lshdedup.codec import encode_image
     from lshdedup.multimodal import image_features
-    from lshdedup.synth import SynthConfig, synth_corpus
 
     n_docs = _docs(spark, sf_dir).count()
-    corpus = synth_corpus(spark, SynthConfig(n_rows=max(256, min(8192, n_docs))))
-    # materialize the tiny (image_id, phash) table driver-side instead of
-    # persist(): no executor memory pinned for the rest of the session,
-    # and the decode→DCT UDF runs exactly once (advice r3)
+    n = max(MM_N_MIN, min(MM_N_MAX, n_docs))
+    rows = []
+    for i in range(n):
+        fmt = "qnt" if i % 3 == 0 else "raw"
+        rows.append(
+            (str(i), bytearray(encode_image(_mm_pixels(i), fmt)), MM_IMG,
+             MM_IMG, fmt)
+        )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+    )
+    # materialize the tiny (image_id, phash) table driver-side: no executor
+    # memory pinned for the rest of the session, decode→DCT runs once
     feat_rows = image_features(corpus).select("image_id", "phash").collect()
-    feats = spark.createDataFrame(feat_rows, "image_id string, phash long")
+    feats = spark.createDataFrame(
+        feat_rows, "image_id string, phash long"
+    ).select(F.col("image_id").cast("long").alias("img_id"), "phash")
     bands = feats.select(
-        "image_id",
+        "img_id",
         "phash",
         F.explode(
             F.array(*[
@@ -841,15 +890,15 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(4)
             ])
         ).alias("bd"),
-    ).select("image_id", "phash", "bd.band_id", "bd.band_val")
+    ).select("img_id", "phash", "bd.band_id", "bd.band_val")
     a = bands.select(
-        F.col("image_id").alias("id_a"),
+        F.col("img_id").alias("id_a"),
         F.col("phash").alias("ph_a"),
         "band_id",
         "band_val",
     )
     b = bands.select(
-        F.col("image_id").alias("id_b"),
+        F.col("img_id").alias("id_b"),
         F.col("phash").alias("ph_b"),
         "band_id",
         "band_val",
@@ -1672,5 +1721,119 @@ def oracle_sql() -> dict[str, str]:
                FROM scored
              )
         SELECT qid, cid, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
+    """
+
+    # multimodal pHash oracle: the full decode→DCT→median→band→hamming
+    # chain in SQL.  E folds the 16→32 duplicate-pixel resample into the
+    # first 8 DCT-II rows (E[u,y] = D32[u,2y] + D32[u,2y+1], exact);
+    # freq = E·px·Eᵀ as two join-aggregates; pow2 literals avoid HUGEINT
+    # shift support questions; the pHash sets only bits 0..62 (63 AC
+    # coefficients), so it is always non-negative and needs no sign
+    # conversion.  Margins: see q_multimodal_phash_pairs.
+    from lshdedup.codec import _dct_matrix
+
+    d32 = _dct_matrix(32)
+    e_m = d32[:8, 0::2] + d32[:8, 1::2]  # 8×16
+    e_rows = ",\n                ".join(
+        f"({u}, CAST([{', '.join(repr(float(x)) for x in e_m[u])}] "
+        "AS DOUBLE[]))"
+        for u in range(8)
+    )
+    pow2_rows = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(63))
+    mm_key = "concat(CAST(i // 4 AS VARCHAR), ':', CAST(p AS VARCHAR))"
+    sql["multimodal_phash_pairs"] = f"""
+        WITH e8(u, erow) AS (VALUES
+                {e_rows}),
+             pow2(j, w) AS (VALUES {pow2_rows}),
+             ids AS (
+               SELECT unnest(range(0,
+                        GREATEST({MM_N_MIN}, LEAST({MM_N_MAX},
+                          (SELECT count(*) FROM documents))))) AS i
+             ),
+             px AS (
+               SELECT i, p,
+                      CAST(list_reduce(
+                             list_prepend(
+                               14695981039346656037::HUGEINT,
+                               list_transform(
+                                 range(1, length({mm_key}) + 1),
+                                 ii -> ascii(substr({mm_key},
+                                         CAST(ii AS INT), 1))::HUGEINT)),
+                             (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                                       % {_W64}
+                           ) % 256 AS BIGINT) AS v0
+               FROM ids CROSS JOIN (SELECT unnest(range(0, 256)) AS p) gs
+             ),
+             dec AS (
+               SELECT i, p,
+                      CASE WHEN i % 3 = 0
+                           THEN LEAST((v0 // 4) * 4 + 2, 255)
+                           ELSE v0 END AS v
+               FROM px
+             ),
+             tmp AS (
+               SELECT d.i, e8.u, (d.p % 16) AS x,
+                      sum(erow[CAST(d.p // 16 + 1 AS INT)] * d.v) AS tv
+               FROM dec d CROSS JOIN e8
+               GROUP BY d.i, e8.u, x
+             ),
+             freq AS (
+               SELECT t.i, t.u, e8.u AS v2,
+                      sum(t.tv * e8.erow[CAST(t.x + 1 AS INT)]) AS fv
+               FROM tmp t CROSS JOIN e8
+               GROUP BY t.i, t.u, v2
+             ),
+             -- MATERIALIZED: med and sig must read the SAME float
+             -- realization of fv — DuckDB otherwise inlines the CTE and
+             -- re-runs the aggregation with a different parallel order,
+             -- so the middle element re-derived in med can differ by
+             -- ulps from the fv it is compared against in sig
+             vals AS MATERIALIZED (
+               SELECT i, (u * 8 + v2) AS idx, fv
+               FROM freq WHERE (u * 8 + v2) > 0
+             ),
+             -- EXACT middle element (rank 32 of 63), NOT median():
+             -- DuckDB's median interpolates and its position arithmetic
+             -- can land ulps below the middle element, flipping that
+             -- element's own fv > m bit; np.median of an odd count
+             -- returns the element itself
+             med AS (
+               SELECT i, fv AS m FROM (
+                 SELECT i, fv,
+                        row_number() OVER (PARTITION BY i ORDER BY fv) AS rn
+                 FROM vals) ranked_vals
+               WHERE rn = 32
+             ),
+             sig AS (
+               SELECT vals.i,
+                      CAST(sum(CASE WHEN fv > m THEN w
+                                    ELSE 0::HUGEINT END) AS BIGINT) AS s
+               FROM vals
+               JOIN med ON med.i = vals.i
+               JOIN pow2 ON pow2.j = vals.idx - 1
+               GROUP BY vals.i
+             ),
+             bandrows AS (
+               SELECT i, s, bb.band_id,
+                      CAST((s::HUGEINT // bb.bdiv) % 65536 AS BIGINT)
+                        AS band_val
+               FROM sig,
+                    (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                            (2, 4294967296::HUGEINT),
+                            (3, 281474976710656::HUGEINT)) bb(band_id, bdiv)
+             ),
+             pairs AS (
+               SELECT DISTINCT a.i AS id_a, b2.i AS id_b,
+                               a.s AS sa, b2.s AS sb
+               FROM bandrows a
+               JOIN bandrows b2
+                 ON a.band_id = b2.band_id
+                AND a.band_val = b2.band_val
+                AND a.i < b2.i
+             )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= 3
     """
     return sql
