@@ -571,6 +571,34 @@ REF_CFG = DedupConfig(
     sig_scheme="kperm-ref", minhash_bits=32,
 )
 
+OPH_CFG = DedupConfig(
+    k=5, n_perm=128, seed=1, threshold=0.8, b=21, r=6, use_phash=False,
+    sig_scheme="oph",
+)
+
+
+def q_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing signatures (the SCALE-path scheme,
+    hashing.oph_raw/oph_densify: Li/Owen/Zhang 2012 + Shrivastava/Li 2014
+    rotation densification), exploded to (doc_id, lane, sig_value) —
+    64,000 rows at sf0.01, every lane value-checked against a DuckDB
+    oracle that re-derives the full chain in SQL: FNV-1a gram hash
+    (unrolled), splitmix64 seed-mix + finalizer (limb-split mod-2^64
+    multiplies), bucket = top 7 bits / value = low 57 bits, per-bucket
+    minima, and rotation densification (nearest non-empty ORIGINAL bucket
+    to the right, circular, offset by hop·C mod 2^64 then masked).
+
+    Previously the OPH path was pytest-gated only (recall/determinism);
+    this pins every emitted lane of the production scale scheme.  All
+    arithmetic is integer-exact — no float margins involved."""
+    from lshdedup.minhash import add_signatures
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    signed = add_signatures(d, OPH_CFG, text_col="text", phash_col="_none_")
+    return signed.select(
+        "doc_id", F.posexplode("sig").alias("lane", "sig_value")
+    )
+
 
 def q_minhash_ref_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIT-EXACT reference signatures (sig_scheme=kperm-ref,
@@ -933,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_signatures": q_minhash_signatures,
         "minhash_ref_signatures": q_minhash_ref_signatures,
+        "oph_signatures": q_oph_signatures,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "wminhash_signatures": q_wminhash_signatures,
@@ -1003,6 +1032,78 @@ def _minhash_oracle_sql() -> str:
                    % {_P61})::BIGINT AS sig_value
         FROM gh CROSS JOIN perms
         GROUP BY doc_id, lane
+    """
+
+
+def _oph_oracle_sql() -> str:
+    """Value-level DuckDB oracle for the OPH scale-path signatures
+    (hashing.oph_raw + oph_densify): FNV-1a gram hash, splitmix64
+    seed-mix + finalizer, bucket/value bit split, per-bucket minima,
+    rotation densification.  Integer-exact throughout."""
+    from lshdedup.hashing import splitmix64_scalar_seed
+
+    smix = splitmix64_scalar_seed(OPH_CFG.seed)
+    fnv = _fnv_sql("text", "i", OPH_CFG.k)
+    m1 = 0xBF58476D1CE4E5B9
+    m2 = 0x94D049BB133111EB
+    oph_c = 0x27D4EB2F165667C5  # densification hop offset (hashing._OPH_C)
+    vmod = 1 << 57              # n_perm=128 → kbits=7 → 57 value bits
+    return f"""
+        WITH gh AS (
+          SELECT DISTINCT doc_id, {fnv} AS gh
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text)-{OPH_CFG.k}+2)) AS i
+                FROM documents)
+        ),
+        -- splitmix64(gh XOR splitmix64(seed)): xor-shift + limb-split
+        -- mod-2^64 multiplies (same technique as the XXH64 oracle)
+        s0 AS (SELECT doc_id, xor(gh, {smix}::HUGEINT) AS z FROM gh),
+        s1 AS (SELECT doc_id, xor(z, z // 1073741824::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT doc_id, {_mulmod_sql('z', m1)} AS z FROM s1),
+        s3 AS (SELECT doc_id, xor(z, z // 134217728::HUGEINT) AS z FROM s2),
+        s4 AS (SELECT doc_id, {_mulmod_sql('z', m2)} AS z FROM s3),
+        s5 AS (SELECT doc_id, xor(z, z // 2147483648::HUGEINT) AS z FROM s4),
+        -- bucket = top 7 bits, value = low 57 bits
+        bk AS (SELECT doc_id, CAST(z // {vmod}::HUGEINT AS INT) AS lane,
+                      z % {vmod}::HUGEINT AS val
+               FROM s5),
+        raw AS (SELECT doc_id, lane, min(val) AS mv
+                FROM bk GROUP BY doc_id, lane),
+        grid AS (
+          SELECT d.doc_id, gs.lane
+          FROM (SELECT DISTINCT doc_id FROM documents) d,
+               (SELECT unnest(range(0, {OPH_CFG.n_perm})) AS lane) gs
+        ),
+        empties AS (
+          SELECT g.doc_id, g.lane
+          FROM grid g LEFT JOIN raw r
+            ON r.doc_id = g.doc_id AND r.lane = g.lane
+          WHERE r.mv IS NULL
+        ),
+        -- rotation densification: nearest non-empty ORIGINAL bucket to
+        -- the right (circular), value offset by hop*C mod 2^64, masked
+        fills AS (
+          SELECT doc_id, lane, mv, hop FROM (
+            SELECT e.doc_id, e.lane, r2.mv,
+                   ((r2.lane - e.lane + {OPH_CFG.n_perm})
+                      % {OPH_CFG.n_perm}) AS hop,
+                   row_number() OVER (
+                     PARTITION BY e.doc_id, e.lane
+                     ORDER BY ((r2.lane - e.lane + {OPH_CFG.n_perm})
+                                 % {OPH_CFG.n_perm})) AS rn
+            FROM empties e JOIN raw r2 ON r2.doc_id = e.doc_id
+          ) ranked_fills WHERE rn = 1
+        ),
+        dense AS (
+          SELECT doc_id, lane, mv AS sig FROM raw
+          UNION ALL
+          SELECT doc_id, lane,
+                 ((mv + (hop::HUGEINT * {oph_c}::HUGEINT) % {_W64})
+                    % {_W64}) % {vmod}::HUGEINT AS sig
+          FROM fills
+        )
+        SELECT doc_id, lane::INT AS lane, CAST(sig AS BIGINT) AS sig_value
+        FROM dense
     """
 
 
@@ -1460,6 +1561,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle_sql(),
         "minhash_ref_signatures": _minhash_ref_oracle_sql(),
+        "oph_signatures": _oph_oracle_sql(),
         "simhash_fingerprints": _simhash_oracle_sql(),
         "rolling_fingerprints": _rolling_fp_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),
