@@ -256,7 +256,14 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
 
     probe_before = _hw_probe()
     results = {}
-    for cpus in (lo, hi):
+    # hi leg FIRST: on this host quiet windows flicker at ~10-min scale and
+    # the hi (8-thread) leg is the window-sensitive one (±40% swing across
+    # windows vs ±8% for the 2-thread leg, BASELINE.md) — run the short,
+    # fragile leg while the window that triggered the launch is freshest,
+    # then the long, robust lo leg.  Round-4 attempts 1-2 ran lo-first and
+    # lost the window exactly between the legs (eff 0.115/0.086 with the
+    # lo leg 3.7x faster than nominal — see the embedded probes).
+    for cpus in (hi, lo):
         out = subprocess.run(
             [
                 sys.executable, __file__, "--pipeline-only",

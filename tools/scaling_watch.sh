@@ -6,7 +6,7 @@ LOG=/root/repo/.probe_watch.log
 cd /root/repo
 attempts=0
 end=$((SECONDS + 14400))
-while [ $SECONDS -lt $end ] && [ $attempts -lt 3 ]; do
+while [ $SECONDS -lt $end ] && [ $attempts -lt 4 ]; do
   out=$(timeout 300 python tools/host_probe.py 2 8 2>/dev/null)
   eff=$(printf '%s' "$out" | python -c "import sys,json
 try: print(json.load(sys.stdin).get('hw_eff',0))
@@ -17,10 +17,10 @@ except Exception: print(0)")
     attempts=$((attempts+1))
     echo "$(date +%F\ %T) LAUNCH 96k attempt $attempts" >> "$LOG"
     python bench.py --scaling 96000 2 8 \
-      > "BENCH_SCALING_r04_attempt${attempts}_96k.json" \
+      > "BENCH_SCALING_r04_attempt$((attempts+2))_96k.json" \
       2> .scaling_err.log
     eff2=$(python -c "import json
-try: print(json.load(open('BENCH_SCALING_r04_attempt${attempts}_96k.json'))['scaling_efficiency'])
+try: print(json.load(open('BENCH_SCALING_r04_attempt$((attempts+2))_96k.json'))['scaling_efficiency'])
 except Exception: print(0)")
     echo "$(date +%F\ %T) RESULT attempt $attempts engine_eff=$eff2" >> "$LOG"
     pass=$(python -c "print(1 if float('${eff2:-0}')>=0.8 else 0)")
