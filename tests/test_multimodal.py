@@ -31,6 +31,30 @@ def test_resize_images(spark):
         assert r["fmt"] == "raw"
 
 
+def test_image_features_decodes_real_png(spark):
+    """fmt="png" rows flow through the same mapInPandas plumbing as the
+    sandbox formats and decode losslessly — same pixels encoded raw vs
+    PNG must produce identical features (VERDICT r4 item 2)."""
+    import numpy as np
+
+    from lshdedup.codec import encode_image
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        rows.append((f"raw{i}", bytearray(encode_image(px, "raw")), 16, 16, "raw"))
+        rows.append((f"png{i}", bytearray(encode_image(px, "png")), 16, 16, "png"))
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    assert len(feats) == 12
+    for i in range(6):
+        a, b = feats[f"raw{i}"], feats[f"png{i}"]
+        assert a["phash"] == b["phash"]
+        assert a["mean_luma"] == b["mean_luma"]
+        assert (a["w"], a["h"]) == (b["w"], b["h"]) == (16, 16)
+
+
 def test_video_stub_raises(spark):
     df = spark.createDataFrame([("v1", bytearray(b"fake"))], ["video_id", "bytes"])
     with pytest.raises(Exception) as exc_info:
