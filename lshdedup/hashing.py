@@ -331,8 +331,17 @@ def char_shingle_hashes(
     padded = [t if len(t) >= k else t + b"\x00" * (k - len(t)) for t in texts]
     lens = np.fromiter((len(t) for t in padded), count=n, dtype=np.int64)
     buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    return _gram_hashes(buf, lens, k, hasher)
+
+
+def _gram_hashes(
+    buf: np.ndarray, lens: np.ndarray, k: int, hasher=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared windowing+hash core over a flat byte buffer: rows are the
+    contiguous segments of ``buf`` with lengths ``lens`` (each >= k)."""
     if buf.size == 0:
         return np.empty(0, dtype=U64), np.zeros((0, 2), dtype=np.int64)
+    n = lens.size
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     windows = np.lib.stride_tricks.sliding_window_view(buf, k) if buf.size >= k else buf[None, :]
@@ -340,6 +349,65 @@ def char_shingle_hashes(
     starts = offs[:-1]
     ends = offs[:-1] + (lens - k + 1)  # grams fully inside the row
     return flat, np.stack([starts, ends], axis=1)
+
+
+def series_grams(
+    texts, k: int, hasher=None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native char_shingle_hashes for a pandas Series of strings
+    (the signature-UDF hot path — VERDICT r4 item 3): UTF-8 marshalling
+    happens once in Arrow C++ (``pa.array``), row lengths come from the
+    StringArray offsets buffer, and <k zero-padding is a single numpy
+    scatter — no per-row Python object is created anywhere.
+
+    Returns (flat_hashes, bounds, data, offs): data/offs expose the raw
+    UTF-8 bytes per row (data[offs[i]:offs[i+1]]) for the rare callers
+    that need original row bytes (the kperm-ref <k whole-string fixup).
+    Nulls hash as empty strings, matching the list path's ``""``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0 or arr.buffers()[1] is None:
+        return (
+            np.empty(0, dtype=U64),
+            np.zeros((0, 2), dtype=np.int64),
+            np.empty(0, dtype=np.uint8),
+            np.zeros(1, dtype=np.int64),
+        )
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    if offs[-1] > data.size or np.any(np.diff(offs) < 0):
+        # same class of guard as _dense_batch_to_sparse: a sliced or
+        # corrupt buffer must raise, never mis-assign bytes to rows
+        raise ValueError("series_grams: Arrow offsets inconsistent with data buffer")
+    orig_lens = np.diff(offs)
+    short = orig_lens < k
+    if not short.any():
+        # dense StringArray data IS the row concatenation — zero copy
+        return (*_gram_hashes(data[offs[0] : offs[-1]], orig_lens, k, hasher),
+                data, offs)
+    out_lens = np.maximum(orig_lens, k)
+    total = int(out_lens.sum())
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], out_lens)
+    valid = pos < np.repeat(orig_lens, out_lens)
+    src = np.repeat(offs[:-1], out_lens) + pos
+    buf = np.zeros(total, dtype=np.uint8)  # zeros = the <k padding
+    buf[valid] = data[src[valid]]
+    return (*_gram_hashes(buf, out_lens, k, hasher), data, offs)
 
 
 def phash_window_hashes(

@@ -28,7 +28,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from lshdedup.config import DedupConfig
 from lshdedup.hashing import (
-    char_shingle_hashes,
     generate_permutations,
     minhash_fixed,
     minhash_segments,
@@ -36,6 +35,7 @@ from lshdedup.hashing import (
     oph_raw,
     phash_window_hashes,
     ragged_valid_indices,
+    series_grams,
     splitmix64,
 )
 
@@ -96,8 +96,10 @@ def caption_signature_udf(cfg: DedupConfig):
     def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         a, b = _perms(n_perm, seed, scheme)
         for batch in texts:
-            raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
-            flat, bounds = char_shingle_hashes(raw, k, hasher)
+            # Arrow-native marshalling: UTF-8 encode + row lengths +
+            # <k padding all C-side/numpy (hashing.series_grams) — no
+            # per-row Python objects in the signature hot path (r5)
+            flat, bounds, data, offs = series_grams(batch, k, hasher)
             if scheme == "kperm-ref":
                 # reference parity for <k strings: split_k_shingling_fast
                 # returns the WHOLE short string unpadded
@@ -105,9 +107,9 @@ def caption_signature_udf(cfg: DedupConfig):
                 # Scalar loop touches only the rare short rows.
                 from lshdedup.refrng import xxh64
 
-                for i, t in enumerate(raw):
-                    if len(t) < k:
-                        flat[bounds[i, 0]] = np.uint64(xxh64(t, 0))
+                for i in np.nonzero(np.diff(offs) < k)[0]:
+                    t = data[offs[i] : offs[i + 1]].tobytes()
+                    flat[bounds[i, 0]] = np.uint64(xxh64(t, 0))
             if elem_mod is not None:
                 flat = flat % np.uint64(elem_mod)
             out = minhash_segments(flat, bounds, a, b, vmask=vmask)
@@ -191,8 +193,7 @@ def oph_signature_udf(cfg: DedupConfig, with_phash: bool):
     wbits, step = cfg.phash_window_bits, cfg.phash_window_step
 
     def _caption_raw(texts: pd.Series) -> np.ndarray:
-        raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in texts]
-        flat, bounds = char_shingle_hashes(raw, k)
+        flat, bounds, _, _ = series_grams(texts, k)  # Arrow-native (r5)
         idx, lens = ragged_valid_indices(bounds)
         return oph_raw(flat[idx], lens, n_perm, seed)
 

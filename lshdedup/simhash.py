@@ -22,13 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from lshdedup.config import DedupConfig
-from lshdedup.hashing import char_shingle_hashes
+from lshdedup.hashing import char_shingle_hashes, series_grams
 
 
 def simhash_batch(texts: list[bytes], k: int) -> np.ndarray:
     """(n,) int64 SimHash fingerprints for a batch of byte strings."""
-    n = len(texts)
     flat, bounds = char_shingle_hashes(texts, k)
+    return simhash_from_grams(flat, bounds, len(texts))
+
+
+def simhash_from_grams(flat: np.ndarray, bounds: np.ndarray, n: int) -> np.ndarray:
+    """SimHash vote/threshold core over pre-computed gram hashes."""
     if flat.size == 0:
         return np.zeros(n, dtype=np.int64)
     g = flat.size
@@ -61,8 +65,10 @@ def simhash_udf(cfg: DedupConfig):
     @F.pandas_udf(LongType())
     def sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in texts:
-            raw = [(t if isinstance(t, str) else "").encode("utf-8") for t in batch]
-            yield pd.Series(simhash_batch(raw, k))
+            # Arrow-native marshalling (hashing.series_grams) — no
+            # per-row encode list-comp in the hot path (r5)
+            flat, bounds, _, _ = series_grams(batch, k)
+            yield pd.Series(simhash_from_grams(flat, bounds, len(batch)))
 
     return sh
 

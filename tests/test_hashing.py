@@ -234,3 +234,35 @@ def test_minhash_segments_unique_gather_path_equal():
                 if vmask is not None:
                     t = t & np.uint64(vmask)
                 assert np.array_equal(got[i], t.min(axis=0)), (i, vmask)
+
+
+def test_series_grams_matches_list_path():
+    """Arrow-native series_grams (r5) must produce byte-identical gram
+    hashes and bounds to the list-of-bytes path, including nulls (→ ""),
+    <k zero-padding, unicode multibyte, and empty batches."""
+    import pandas as pd
+
+    from lshdedup.hashing import series_grams
+
+    texts = ["hello world", None, "ab", "", "héllo wörld ünïcode", "exact", "x" * 500]
+    k = 5
+    as_bytes = [(t or "").encode("utf-8") for t in texts]
+    flat_ref, bounds_ref = char_shingle_hashes(as_bytes, k)
+    flat, bounds, data, offs = series_grams(pd.Series(texts), k)
+    assert (bounds == bounds_ref).all()
+    assert (flat == flat_ref).all()
+    # data/offs expose original row bytes (for the kperm-ref <k fixup)
+    for i, t in enumerate(as_bytes):
+        assert data[offs[i] : offs[i + 1]].tobytes() == t
+    # all-long batch takes the zero-copy path; still identical
+    long_texts = ["abcdefgh", "12345678", "the quick brown fox"]
+    f2r, b2r = char_shingle_hashes([t.encode() for t in long_texts], 3)
+    f2, b2, _, _ = series_grams(pd.Series(long_texts), 3)
+    assert (f2 == f2r).all() and (b2 == b2r).all()
+    # empty batch
+    f3, b3, _, _ = series_grams(pd.Series([], dtype=object), 4)
+    assert f3.size == 0 and b3.shape == (0, 2)
+    # all-empty-string batch (every row padded)
+    f4, b4, _, _ = series_grams(pd.Series(["", None, ""]), 4)
+    f4r, b4r = char_shingle_hashes([b"", b"", b""], 4)
+    assert (f4 == f4r).all() and (b4 == b4r).all()
