@@ -1043,7 +1043,16 @@ def _oph_oracle_sql() -> str:
     """Value-level DuckDB oracle for the OPH scale-path signatures
     (hashing.oph_raw + oph_densify): FNV-1a gram hash, splitmix64
     seed-mix + finalizer, bucket/value bit split, per-bucket minima,
-    rotation densification.  Integer-exact throughout."""
+    rotation densification.  Integer-exact throughout.
+
+    Fixture contract (same as _fnv_sql's): ASCII text with length >= k.
+    The gram CTE (range(1, length-k+2)) yields NO grams for docs shorter
+    than k, while the engine hashes a <k string as ONE zero-padded
+    whole-string shingle (char_shingle_hashes) and _fill_empty_rows only
+    covers zero-GRAM rows — so a <k doc would fail the oracle loudly
+    (spurious mismatch, never a wrong-accept).  The driver documents
+    table satisfies the contract; extend the whole-string branch into
+    this SQL before pointing it at corpora with shorter docs."""
     from lshdedup.hashing import splitmix64_scalar_seed
 
     smix = splitmix64_scalar_seed(OPH_CFG.seed)
@@ -1788,12 +1797,15 @@ def oracle_sql() -> dict[str, str]:
              c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                    FROM embeddings WHERE vec_id >= 5),
              cent AS (
+               -- (md5, cid) compound order matches ivf_topk_seeded's
+               -- (_ckey, _cid) pick: deterministic under duplicate keys
                SELECT cv AS centv,
                       row_number() OVER (
-                        ORDER BY md5(CAST(cid AS VARCHAR)) ASC) - 1 AS cent_id
+                        ORDER BY md5(CAST(cid AS VARCHAR)) ASC, cid ASC)
+                        - 1 AS cent_id
                FROM c
                QUALIFY row_number() OVER (
-                        ORDER BY md5(CAST(cid AS VARCHAR)) ASC) <= 16
+                        ORDER BY md5(CAST(cid AS VARCHAR)) ASC, cid ASC) <= 16
              ),
              cassign AS (
                SELECT cid, cv, cent_id,

@@ -167,6 +167,7 @@ def train_ivf_centroids(
     n_sample: int = 4096,
     iters: int = 10,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: Lloyd's k-means on a DETERMINISTIC bounded
     sample (hash-selected rows, driver-side numpy — standard IVF practice:
@@ -174,25 +175,28 @@ def train_ivf_centroids(
     nearest-centroid-by-L2 == nearest-by-cosine.  Returns (n_cells, dim)
     unit centroids."""
     # deterministic sample: smallest n_sample ids by hash (no RNG, no
-    # partition-order dependence).  NO full sort: count the table (scan +
-    # partial agg only), pre-prune with a pushed filter on the lowest
-    # slice of the uniform hash range, then finish with orderBy+limit —
-    # which Spark plans as TakeOrderedAndProject (per-partition top-k +
-    # driver merge, no global Exchange) and which hard-caps driver intake
-    # at n_sample rows even when duplicate/low-cardinality ids clump the
-    # hash distribution.  The rare statistical shortfall (filter too
-    # tight) retries without the pre-filter, still TakeOrdered-bounded.
+    # partition-order dependence).  NO full sort: pre-prune with a pushed
+    # filter on the lowest slice of the uniform hash range, then finish
+    # with orderBy+limit — which Spark plans as TakeOrderedAndProject
+    # (per-partition top-k + driver merge, no global Exchange) and which
+    # hard-caps driver intake at n_sample rows even when duplicate/
+    # low-cardinality ids clump the hash distribution.  The statistical
+    # shortfall (filter too tight) retries without the pre-filter, still
+    # TakeOrdered-bounded.
+    #
+    # No count() job (r5): callers that know the corpus size pass n_rows
+    # and get the exact filter fraction; otherwise the fraction assumes a
+    # large corpus (64 × n_sample) — for a bigger corpus the filter is
+    # merely looser than optimal (TakeOrdered still caps intake), for a
+    # smaller one the shortfall retry below restores correctness with one
+    # extra (cheap, small-corpus) scan.
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.xxhash64(F.col(id_col)).alias("_h"),
     )
-    n_rows = hashed.count()
-    if n_rows == 0:
-        raise ValueError(
-            "train_ivf_centroids: empty corpus — no vectors to train on"
-        )
-    frac = min(1.0, (1.3 * n_sample + 64.0) / n_rows)
+    assumed_rows = n_rows if n_rows is not None else 64 * n_sample
+    frac = min(1.0, (1.3 * n_sample + 64.0) / max(assumed_rows, 1))
     # clamp: frac == 1.0 would put the cutoff at 2^63, one past int64
     cutoff = min(int(-(2**63) + frac * 2.0**64), 2**63 - 1)
     sample = (
@@ -201,8 +205,13 @@ def train_ivf_centroids(
         .limit(n_sample)
         .collect()
     )
-    if len(sample) < min(n_sample, n_rows):
+    want = n_sample if n_rows is None else min(n_sample, n_rows)
+    if len(sample) < want:
         sample = hashed.orderBy("_h", "_id").limit(n_sample).collect()
+    if not sample:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — no vectors to train on"
+        )
     rows = [
         np.asarray(r["_v"], dtype=np.float64)
         for r in sample
@@ -256,6 +265,14 @@ def ivf_cell_udf(centroids: np.ndarray, n_probe: int = 1):
             ).astype(np.int64)
             bad = per_row != dim
             flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if int(np.maximum(per_row, 0).sum()) != flat.size:
+                # a sliced/non-dense ListArray would silently assign
+                # wrong vectors to rows — same guard as
+                # wminhash._dense_batch_to_sparse
+                raise ValueError(
+                    "ivf_cell_udf: Arrow list lengths inconsistent with "
+                    "flattened buffer"
+                )
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(np.maximum(per_row, 0)[:-1], out=starts[1:])
             good = ~bad
@@ -285,6 +302,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN (the inverted-file alternative to SRP banding):
     corpus rows live in ONE coarse cell; queries probe their n_probe
@@ -293,7 +311,9 @@ def ivf_topk(
     partition the corpus table by cell at rest and the probe becomes a
     partition-pruned scan."""
     try:
-        cent = train_ivf_centroids(corpus, cid, cvec, dim, n_cells, seed=seed)
+        cent = train_ivf_centroids(
+            corpus, cid, cvec, dim, n_cells, seed=seed, n_rows=n_rows
+        )
     except ValueError:
         # a genuinely empty corpus degrades to an empty result with the
         # output schema; a NON-empty corpus whose rows all fail the dim
@@ -359,8 +379,11 @@ def ivf_topk_seeded(
         corpus.select(
             F.col(cvec).alias("centv"),
             F.md5(F.col(cid).cast("string")).alias("_ckey"),
+            F.col(cid).alias("_cid"),
         )
-        .orderBy("_ckey")
+        # secondary key: identical md5 keys (duplicate cid values) must
+        # pick deterministically, matching the oracle's window ordering
+        .orderBy("_ckey", "_cid")
         .limit(n_cells)
         .collect()
     )
