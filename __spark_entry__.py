@@ -635,6 +635,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters
 
 
+def q_dedup_clusters_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume under the driver contract (VERDICT r4 item 4;
+    north-rule resumability).  Runs the dedup pipeline TWICE through
+    StageRunner with one fixed (checkpoint_dir, run_id): the first run
+    computes and checkpoints all six stages (reps, exact_edges,
+    signatures, candidates, verified, clusters); the second run must
+    RESUME every stage from its parquet checkpoint (table-existence +
+    cfg-hash match, checkpoint.py) without recomputing.  Returns the
+    second run's cluster table plus resumed_stages = the count of
+    resumed stage events — the oracle pins it to the constant 6, so any
+    silently-recomputed stage fails the hash match loudly.
+
+    The cluster values themselves are checked against the SAME
+    recursive-CTE connected-components oracle as dedup_clusters, so this
+    row proves resume correctness AND resume completeness under the one
+    hard signal the driver supports.  Cluster rows are materialized
+    driver-side (500 rows at sf0.01) before the checkpoint tree is
+    removed, mirroring the streaming query's temp-tree hygiene."""
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from lshdedup.pipeline import dedup_pipeline
+
+    ckpt = tempfile.mkdtemp(prefix="lshdedup_resume_q_")
+    try:
+        cfg = replace(DOC_CFG, checkpoint_dir=ckpt, run_id="resume_q")
+        docs = _docs(spark, sf_dir)
+        kwargs = dict(id_col="doc_id", text_col="text", phash_col=None)
+        dedup_pipeline(spark, docs, cfg, **kwargs)  # run 1: compute + checkpoint
+        res2 = dedup_pipeline(spark, docs, cfg, **kwargs)  # run 2: all-resumed
+        resumed = sum(
+            1 for e in res2.extra["runner"].events if e.get("resumed")
+        )
+        rows = res2.clusters.collect()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    ).withColumn("resumed_stages", F.lit(resumed))
+
+
 def q_wminhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted MinHash (weight_minhash.h) over embedding magnitudes,
     exploded to per-lane rows (vec_id, lane, sig) — 64,000 rows at sf0.01,
@@ -968,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_signatures": q_oph_signatures,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_resumed": q_dedup_clusters_resumed,
         "wminhash_signatures": q_wminhash_signatures,
         "wminhash_set_signatures": q_wminhash_set_signatures,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1578,6 +1621,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _simhash_oracle_sql(),
         "rolling_fingerprints": _rolling_fp_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(grams),
+        # same CC oracle + the pinned all-six-stages-resumed constant
+        # (see q_dedup_clusters_resumed)
+        "dedup_clusters_resumed": (
+            "SELECT doc_id, cluster_id, 6 AS resumed_stages FROM ("
+            + _dedup_clusters_oracle_sql(grams)
+            + ") cc"
+        ),
         "fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "lang_distribution": """
             SELECT lang, count(*)::BIGINT AS n_docs,
