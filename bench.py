@@ -129,6 +129,22 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     srp_topk(q, c, k=10, dim=64).count()
     queries["embedding_ann"] = time.perf_counter() - t0
 
+    # --- embedding_ivf: the k-means IVF scale path, with recall@10 vs the
+    # brute-force oracle surfaced as a bench metric (reference analogue:
+    # the LSH-result ⊆ scan-result check, dna_benchmark.h:444-446) so a
+    # recall regression shows in BENCH artifacts, not only in test_ann. The
+    # brute-force pass is the oracle, so it runs outside the timed window. ---
+    from lshdedup.ann import brute_force_topk, ivf_topk
+
+    t0 = time.perf_counter()
+    iv = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(q, c, k=10, dim=64, n_cells=16, n_probe=8).collect()
+    }
+    queries["embedding_ivf"] = time.perf_counter() - t0
+    bf = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=10).collect()}
+    ivf_recall = round(len(bf & iv) / max(len(bf), 1), 4)
+
     spark.stop()
     return {
         "metric": "images_per_sec_end_to_end",
@@ -138,6 +154,7 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
         "sf": sf_num,
         "n_images": n_actual,
         "n_clusters": n_clusters,
+        "ivf_recall": ivf_recall,
         "cpus": cpus,
         "total_sec": round(sum(queries.values()), 3),
     }
@@ -294,6 +311,89 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_ab(
+    wt_a: str,
+    wt_b: str,
+    n_images: int = 20_000,
+    n_pairs: int = 5,
+    cpus: int = 32,
+) -> dict:
+    """Interleaved same-window A/B of two worktrees — the only regression-
+    detection method this host supports (±40% window noise swamps any
+    sequential comparison; see BASELINE.md round-4 A/B).
+
+    Both worktrees' own ``bench.py --pipeline-only`` run against ONE shared
+    pre-materialized corpus (generated by THIS tree, so both legs read
+    byte-identical input).  Legs alternate within each pair and pair order
+    alternates too, so neither tree is systematically credited with the
+    quieter moment.  Pair 1 is cold (JVM/page-cache warmup) and excluded
+    from the warm averages, matching the round-4 hand-run method.
+    """
+    import statistics
+    import subprocess
+
+    wt_a, wt_b = os.path.abspath(wt_a), os.path.abspath(wt_b)
+    for wt in (wt_a, wt_b):
+        if not os.path.exists(os.path.join(wt, "bench.py")):
+            raise FileNotFoundError(f"{wt}/bench.py not found")
+
+    import hashlib
+    import tempfile
+
+    from dataclasses import asdict
+
+    from lshdedup.synth import SYNTH_SCHEMA_VERSION, SynthConfig
+
+    fp = hashlib.sha256(
+        json.dumps(
+            {"cfg": asdict(SynthConfig(n_rows=n_images)),
+             "schema": SYNTH_SCHEMA_VERSION},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"lshdedup_scale_corpus_{n_images}_{fp}.parquet"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        write_synth_corpus(n_images, corpus_path, cpus=cpus)
+
+    def _leg(wt: str) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py"), "--pipeline-only",
+             str(cpus), str(n_images), corpus_path],
+            capture_output=True, text=True, cwd=wt,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"A/B leg in {wt} exited {out.returncode}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    pairs = []
+    for i in range(n_pairs):
+        order = (wt_a, wt_b) if i % 2 == 0 else (wt_b, wt_a)
+        legs = {wt: _leg(wt) for wt in order}
+        pairs.append({
+            "order": [os.path.basename(w) for w in order],
+            "wall_a": legs[wt_a]["wall_sec"],
+            "wall_b": legs[wt_b]["wall_sec"],
+            "clusters_a": legs[wt_a]["n_clusters"],
+            "clusters_b": legs[wt_b]["n_clusters"],
+        })
+    warm = pairs[1:] if len(pairs) > 1 else pairs
+    return {
+        "worktree_a": wt_a,
+        "worktree_b": wt_b,
+        "n_images": n_images,
+        "cpus": cpus,
+        "pairs": pairs,
+        "warm_avg_a": round(statistics.mean(p["wall_a"] for p in warm), 3),
+        "warm_avg_b": round(statistics.mean(p["wall_b"] for p in warm), 3),
+        "outputs_identical": all(
+            p["clusters_a"] == p["clusters_b"] for p in pairs
+        ),
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
         path = sys.argv[4] if len(sys.argv) > 4 else None
@@ -303,6 +403,14 @@ if __name__ == "__main__":
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
         print(json.dumps(run_scaling(n, lo, hi)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        if len(sys.argv) < 4:
+            sys.exit("usage: bench.py --ab WORKTREE_A WORKTREE_B "
+                     "[n_images] [n_pairs] [cpus]")
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 20_000
+        n_pairs = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+        cpus = int(sys.argv[6]) if len(sys.argv) > 6 else 32
+        print(json.dumps(run_ab(sys.argv[2], sys.argv[3], n, n_pairs, cpus)))
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
