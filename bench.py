@@ -64,6 +64,10 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     queries["image_dedup"] = time.perf_counter() - t0
     images_per_sec = n_actual / queries["image_dedup"]
+    # skew-metrics row (outside the timed window): buckets the cap excluded
+    # from pair generation — nonzero means the corpus hit the skew safeguard
+    # and recall should be read alongside tests/test_skew.py's invariants
+    skipped_hot_buckets = res.skew_report.count()
     res.unpersist()  # release pipeline caches (sized/signed/candidates)
     corpus.unpersist()
 
@@ -155,6 +159,7 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
         "n_images": n_actual,
         "n_clusters": n_clusters,
         "ivf_recall": ivf_recall,
+        "skipped_hot_buckets": skipped_hot_buckets,
         "cpus": cpus,
         "total_sec": round(sum(queries.values()), 3),
     }
