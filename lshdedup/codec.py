@@ -13,10 +13,17 @@ identical for all of them):
               grayscale (color type 0); decode additionally accepts
               8-bit RGB / gray+alpha / RGBA (converted to BT.601 luma)
               and all five filter types.  No PIL needed.
+  fmt="jpeg" — REAL wire format, pure stdlib + numpy (jpeg.py): baseline
+              JFIF per ITU-T T.81 — quality-scaled Annex K quantization,
+              Huffman entropy coding, restart markers; encode writes
+              grayscale or YCbCr 4:4:4/4:2:0, decode returns the luma
+              plane of any baseline single-scan JPEG.  Lossy: PSNR
+              ≥ 40 dB at the default quality (pytest-gated, incl. the
+              white-noise worst case).  No libjpeg needed.
 
-JPEG/webp/video decode still requires libraries absent from this
-container and stays stubbed (decode_real, sample_video_frames), gated
-behind an import-try as required for this sandbox.
+webp/video decode still requires libraries absent from this container
+and stays stubbed (decode_real, sample_video_frames), gated behind an
+import-try as required for this sandbox.
 
 pHash: classic 64-bit DCT hash — 32×32 resample → 2-D DCT-II (numpy matmul
 with the orthonormal DCT matrix) → top-left 8×8 minus DC → median
@@ -46,6 +53,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return MAGIC_QNT + header + (pixels >> 2).astype(np.uint8).tobytes()
     if fmt == "png":
         return encode_png(pixels)
+    if fmt in ("jpeg", "jpg"):
+        from lshdedup.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -193,12 +204,17 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_real(data: bytes, fmt: str) -> np.ndarray:
-    """Decode a real image format.  PNG is fully implemented in stdlib
-    (decode_png above); jpeg/webp still require image libraries absent
-    from this sandbox and stay stubbed — on a real cluster they dispatch
-    to PIL/libvips inside the same mapInPandas plumbing."""
+    """Decode a real image format.  PNG and baseline JPEG are fully
+    implemented in stdlib+numpy (decode_png above, jpeg.decode_jpeg);
+    webp/video still require image libraries absent from this sandbox
+    and stay stubbed — on a real cluster they dispatch to PIL/libvips
+    inside the same mapInPandas plumbing."""
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        from lshdedup.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent

@@ -36,11 +36,12 @@ def test_qnt_roundtrip_psnr():
     assert psnr(px, dec) >= 40.0
 
 
-def test_decode_real_jpeg_is_stubbed():
-    """PNG is now a real stdlib path (decode_png); only formats needing
-    external libs (jpeg/webp) remain stubbed in this sandbox."""
+def test_decode_real_webp_is_stubbed():
+    """PNG and baseline JPEG are now real stdlib paths (decode_png,
+    jpeg.decode_jpeg); only formats needing external libs (webp/video)
+    remain stubbed in this sandbox."""
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0", "jpeg")
+        decode_real(b"RIFF\x00\x00\x00\x00WEBP", "webp")
 
 
 class TestPngCodec:
@@ -196,3 +197,136 @@ def test_truth_tables_consistent():
     cmap = dict(zip(clusters.image_id, clusters.cluster_id))
     for _, r in pairs.iterrows():
         assert cmap[r.id_a] == cmap[r.id_b]
+
+
+class TestJpegCodec:
+    """Real-wire-format baseline JPEG path (round 5): pure stdlib+numpy
+    ITU-T T.81 encoder/decoder (lshdedup/jpeg.py).  Same reference
+    lineage as PNG — the binary sink/scan rows (dna_benchmark.h:113-166)
+    generalized to a genuine lossy format with the BASELINE.json
+    PSNR ≥ 40 dB invariant."""
+
+    def _px(self, h=48, w=80, seed=7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+    def test_noise_roundtrip_psnr(self):
+        """White noise is JPEG's worst case; the ≥ 40 dB lossy invariant
+        must hold even there at the default quality."""
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._px()
+        data = encode_jpeg(px)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(data)
+        assert dec.shape == px.shape and dec.dtype == np.uint8
+        assert psnr(px, dec) >= 40.0
+
+    def test_smooth_image_near_lossless(self):
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        gx = (np.add.outer(np.arange(64), np.arange(96)) % 256).astype(
+            np.uint8
+        )
+        assert psnr(gx, decode_jpeg(encode_jpeg(gx, quality=95))) > 55.0
+
+    def test_quality_100_max_error_one(self):
+        """q100 → all-ones quant table: the only loss is DCT rounding."""
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._px()
+        dec = decode_jpeg(encode_jpeg(px, quality=100))
+        assert int(np.abs(px.astype(int) - dec.astype(int)).max()) <= 1
+
+    def test_non_multiple_of_eight_dimensions(self):
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._px(13, 21)
+        dec = decode_jpeg(encode_jpeg(px, quality=95))
+        assert dec.shape == (13, 21)
+        assert psnr(px, dec) >= 40.0
+
+    def test_color_444_and_420_luma(self):
+        """Color encode exercises the decoder's multi-component MCU path
+        (4:4:4) and non-trivial sampling factors (4:2:0, Y is 2×2 per
+        MCU); output is the luma plane."""
+        from lshdedup.jpeg import _rgb_to_ycbcr, decode_jpeg, encode_jpeg
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        rgb = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+        y = _rgb_to_ycbcr(rgb)[0]
+        for ss in ("4:4:4", "4:2:0"):
+            dec = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling=ss))
+            assert dec.shape == y.shape
+            assert psnr(y, dec) >= 40.0
+
+    def test_restart_markers_do_not_change_pixels(self):
+        """DRI/RSTn only resegment the entropy stream; quantized
+        coefficients are identical, so decoded pixels must be too."""
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._px()
+        plain = decode_jpeg(encode_jpeg(px, quality=90))
+        rst = decode_jpeg(encode_jpeg(px, quality=90, restart_interval=2))
+        assert (plain == rst).all()
+
+    def test_zigzag_matches_independent_derivation(self):
+        """Re-derive the zigzag order with the standard diagonal walk
+        (independent of the hand-copied table) — catches a transposed
+        table that a same-table round trip could never see."""
+        from lshdedup.jpeg import ZIGZAG
+
+        order = []
+        for d in range(15):
+            rng = range(max(0, d - 7), min(d, 7) + 1)
+            # even diagonals run bottom-left→top-right, odd the reverse
+            for i in (rng if d % 2 else reversed(rng)):
+                order.append(i * 8 + (d - i))
+        assert list(ZIGZAG) == order
+
+    def test_quality_50_is_annex_k_table(self):
+        from lshdedup.jpeg import _BASE_QT, _quality_qt
+
+        assert (_quality_qt(50) == _BASE_QT).all()
+
+    def test_constant_block_golden_bitstream(self):
+        """A single 8×8 constant-128 block encodes (level shift → all
+        zeros) as DC category 0 (K.3: 2-bit code 00) + EOB (K.5: 4-bit
+        code 1010), padded with 1s → exactly one byte 0x2B.  Pins the
+        Huffman table construction and MSB-first bit order to the public
+        spec values independently of the decoder."""
+        from lshdedup.jpeg import encode_jpeg
+
+        data = encode_jpeg(np.full((8, 8), 128, np.uint8), quality=50)
+        sos = data.find(b"\xff\xda")
+        # 1-component SOS: marker (2) + length field 8 (self + 6 body)
+        entropy = data[sos + 10 : -2]
+        assert entropy == b"\x2b"
+
+    def test_dispatch_via_codec_interface(self):
+        px = self._px(16, 16)
+        data = encode_image(px, "jpeg")
+        dec = decode_real(data, "jpeg")
+        assert psnr(px, dec) >= 40.0
+        assert psnr(px, decode_real(data, "jpg")) >= 40.0
+
+    def test_error_paths(self):
+        from lshdedup.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._px(16, 16)
+        data = bytearray(encode_jpeg(px))
+        with pytest.raises(ValueError, match="missing SOI"):
+            decode_jpeg(b"\x89PNG" + bytes(data[4:]))
+        with pytest.raises(ValueError, match="progressive"):
+            bad = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
+            decode_jpeg(bad)
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data[: len(data) // 4]))
+        with pytest.raises(ValueError, match="quality"):
+            encode_jpeg(px, quality=0)
+        with pytest.raises(ValueError):
+            encode_jpeg(px.astype(np.int32))
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(
+                np.zeros((8, 8, 3), np.uint8), subsampling="4:1:1"
+            )

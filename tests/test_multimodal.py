@@ -62,3 +62,39 @@ def test_video_stub_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_image_features_decodes_real_jpeg(spark):
+    """fmt="jpeg" rows flow through the same mapInPandas plumbing (round
+    5, jpeg.py).  JPEG is lossy, so instead of exact feature equality the
+    per-row invariant is the BASELINE.json one: decoded pixels within
+    PSNR ≥ 40 dB of the source, which bounds mean_luma drift and keeps
+    the pHash within a small Hamming distance of the raw row's."""
+    import numpy as np
+
+    from lshdedup.codec import encode_image, psnr
+    from lshdedup.jpeg import decode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows, originals = [], {}
+    for i in range(6):
+        px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        originals[i] = px
+        rows.append((f"raw{i}", bytearray(encode_image(px, "raw")), 16, 16,
+                     "raw"))
+        rows.append((f"jpg{i}", bytearray(encode_image(px, "jpeg")), 16, 16,
+                     "jpeg"))
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "w", "h", "fmt"])
+    from lshdedup.multimodal import image_features
+
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    assert len(feats) == 12
+    for i in range(6):
+        a, b = feats[f"raw{i}"], feats[f"jpg{i}"]
+        assert (b["w"], b["h"]) == (16, 16)
+        # the UDF decoded the same pixels decode_jpeg produces driver-side
+        dec = decode_jpeg(bytes(encode_image(originals[i], "jpeg")))
+        assert psnr(originals[i], dec) >= 40.0
+        assert abs(a["mean_luma"] - b["mean_luma"]) <= 2.0
+        ham = bin((a["phash"] ^ b["phash"]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 10
