@@ -989,6 +989,75 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JB_GRID = (4, 6)           # 8×8 blocks per image → 32×48 px
+JB_N_MIN, JB_N_MAX = 256, 1024
+
+
+def q_jpeg_block_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG wire format under the value-exact hash gate (round 5).
+
+    Corpus: images whose 8×8 blocks are each CONSTANT, with the block
+    value derived from splitmix64(img_id·24 + block) % 256.  Encoded as
+    genuine baseline JFIF (jpeg.encode_jpeg, default quality) driver-side;
+    decoded with jpeg.decode_jpeg in EXECUTORS via mapInPandas; output =
+    per-image integer pixel statistics.
+
+    Why a lossy codec can sit under a value-exact oracle: a constant 8×8
+    block has every AC coefficient exactly 0 and DC = 8·(v−128), a
+    multiple of 8 — the quality-95 DC quantizer step is 2, so
+    round(DC/2)·2 = DC exactly, and the IDCT of a DC-only spectrum is the
+    constant v back (float noise ~1e-12, killed by the integer round).
+    The decode is therefore mathematically lossless for this family while
+    still exercising the full wire path: JFIF markers, Huffman entropy
+    coding, byte stuffing, dequantization, IDCT.  A hash match proves
+    decode(encode(px)) == px for every image — through real JPEG bytes.
+
+    The oracle recomputes the statistics from the generative formula in
+    pure integer SQL (the same splitmix64 xor-shift/limb-multiply chain
+    as the OPH oracle).  Corpus size tracks sf_dir's documents count,
+    clamped [256, 1024] (JB_N_MIN/JB_N_MAX).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from lshdedup.codec import decode_real
+    from lshdedup.hashing import splitmix64
+    from lshdedup.jpeg import encode_jpeg
+
+    gr, gc = JB_GRID
+    nb = gr * gc
+    n_docs = _docs(spark, sf_dir).count()
+    n = max(JB_N_MIN, min(JB_N_MAX, n_docs))
+    vals = (
+        splitmix64(np.arange(n * nb, dtype=np.uint64)) % np.uint64(256)
+    ).astype(np.uint8).reshape(n, gr, gc)
+    rows = [
+        (i, bytearray(encode_jpeg(np.kron(vals[i], np.ones((8, 8), np.uint8)))))
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["img_id", "bytes"])
+    )
+
+    schema = "img_id long, pixel_sum long, px_min int, px_max int, n_px int"
+
+    def dec(batches):
+        for pdf in batches:
+            out = []
+            for rid, data in zip(pdf["img_id"], pdf["bytes"]):
+                px = decode_real(bytes(data), "jpeg")
+                out.append(
+                    (int(rid), int(px.sum()), int(px.min()), int(px.max()),
+                     int(px.size))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["img_id", "pixel_sum", "px_min", "px_max", "n_px"],
+            )
+
+    return corpus.repartition(8).mapInPandas(dec, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_profile": q_shingle_profile,
@@ -1027,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "streaming_dedup_pairs": q_streaming_dedup_pairs,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
+        "jpeg_block_roundtrip": q_jpeg_block_roundtrip,
     }
 
 
@@ -2003,5 +2073,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM pairs
         WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+    # jpeg_block_roundtrip: recompute the per-image pixel statistics from
+    # the generative formula val = splitmix64(img·24 + block) % 256 in
+    # pure integer SQL (same xor-shift + limb-multiply chain as the OPH
+    # oracle; GAMMA add first, since hashing.splitmix64 includes it).
+    # The Spark side gets these numbers by DECODING REAL JPEG BYTES in
+    # executors — the match proves the wire path is lossless for the
+    # constant-block family (see q_jpeg_block_roundtrip's docstring).
+    jb_gamma = 0x9E3779B97F4A7C15
+    jb_nb = JB_GRID[0] * JB_GRID[1]
+    sql["jpeg_block_roundtrip"] = f"""
+        WITH params AS (
+          SELECT GREATEST({JB_N_MIN},
+                          LEAST({JB_N_MAX},
+                                (SELECT count(*) FROM documents))) AS n
+        ),
+        xs AS (
+          SELECT unnest(range(0, (SELECT n FROM params) * {jb_nb})) AS x
+        ),
+        s0 AS (SELECT x, (x::HUGEINT + {jb_gamma}::HUGEINT) % {_W64} AS z
+               FROM xs),
+        s1 AS (SELECT x, xor(z, z // 1073741824::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT x, {_mulmod_sql('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
+        s3 AS (SELECT x, xor(z, z // 134217728::HUGEINT) AS z FROM s2),
+        s4 AS (SELECT x, {_mulmod_sql('z', 0x94D049BB133111EB)} AS z FROM s3),
+        s5 AS (SELECT x, xor(z, z // 2147483648::HUGEINT) AS z FROM s4),
+        vals AS (
+          SELECT x // {jb_nb} AS img_id, CAST(z % 256 AS INT) AS v FROM s5
+        )
+        SELECT img_id,
+               CAST(64 * sum(v) AS BIGINT) AS pixel_sum,
+               MIN(v) AS px_min,
+               MAX(v) AS px_max,
+               {jb_nb} * 64 AS n_px
+        FROM vals
+        GROUP BY img_id
     """
     return sql
