@@ -143,7 +143,9 @@ def run_bench(sf_dir: str, cpus: int, n_images: int | None = None) -> dict:
     t0 = time.perf_counter()
     iv = {
         (r["qid"], r["cid"])
-        for r in ivf_topk(q, c, k=10, dim=64, n_cells=16, n_probe=8).collect()
+        for r in ivf_topk(
+            q, c, k=10, dim=64, n_cells=16, n_probe=8, corpus_spill=2
+        ).collect()
     }
     queries["embedding_ivf"] = time.perf_counter() - t0
     bf = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=10).collect()}

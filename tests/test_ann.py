@@ -108,6 +108,46 @@ def test_ivf_topk_recall_and_scan_fraction(spark):
     assert len(bf & iv) / len(bf) >= 0.7
 
 
+def test_ivf_corpus_spill_lifts_recall_no_duplicate_pairs(spark):
+    """Cell spilling (corpus rows indexed under their 2 nearest centroids)
+    must (a) never return a duplicate (qid, cid) pair despite the pair now
+    being joinable through up to `spill` shared cells, (b) keep ranks
+    contiguous 1..k per query, and (c) recall at spill=2 dominates spill=1
+    on the same geometry — the boundary-loss neighbors it exists to catch."""
+    from pyspark.sql import functions as F
+
+    from lshdedup.ann import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    bf = {(r["qid"], r["cid"]) for r in brute_force_topk(q, c, k=5).collect()}
+    rows = ivf_topk(
+        q, c, k=5, dim=64, n_cells=16, n_probe=4, corpus_spill=2
+    ).collect()
+    pairs = [(r["qid"], r["cid"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # dedup before the rank window
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    recall2 = len(bf & set(pairs)) / len(bf)
+    base = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk(
+            q, c, k=5, dim=64, n_cells=16, n_probe=4, corpus_spill=1
+        ).collect()
+    }
+    assert recall2 >= len(bf & base) / len(bf)
+
+
 def test_ivf_centroids_deterministic(spark):
     """Same data + seed → identical centroids (hash-ordered sample, seeded
     k-means): cell assignments are reproducible across runs/partitionings."""
