@@ -388,13 +388,15 @@ def ivf_topk_seeded(
     cvec: str = "cvec",
     n_cells: int = 16,
     n_probe: int = 4,
+    corpus_spill: int = 1,
 ) -> DataFrame:
     """IVF ANN with a SEEDED-ROW coarse quantizer, pure native expressions
     (no numpy, no RNG): the n_cells corpus rows with the smallest
     md5(cid) are the centroids (k-means with zero Lloyd iterations — a
-    standard IVF baseline), every corpus row joins its argmax-rounded-cosine
-    cell, queries probe their n_probe nearest cells, candidates re-rank
-    exactly.
+    standard IVF baseline), every corpus row joins its corpus_spill
+    highest-rounded-cosine cells (spill=1: classic single-cell IVF; >1:
+    cell spilling, see ivf_topk), queries probe their n_probe nearest
+    cells, candidates re-rank exactly.
 
     Exists alongside ivf_topk (the k-means quantizer) because every step
     here is ANSI-SQL-expressible, so the driver oracle can verify the
@@ -424,13 +426,14 @@ def ivf_topk_seeded(
         [(i, r["centv"]) for i, r in enumerate(cent_rows)],
         StructType([StructField("cent_id", IntegerType(), False), vec_field]),
     )
+    spill = max(1, min(int(corpus_spill), n_cells))
     sim = F.round(cosine_expr(F.col(cvec), F.col("centv")), 6)
     w_assign = Window.partitionBy(cid).orderBy(F.desc("_csim"), F.col("cent_id"))
     cb = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("_csim", sim)
         .withColumn("_crank", F.row_number().over(w_assign))
-        .filter(F.col("_crank") == 1)
+        .filter(F.col("_crank") <= spill)
         .select(cid, cvec, F.col("cent_id").alias("_cell"))
     )
     qsim = F.round(cosine_expr(F.col(qvec), F.col("centv")), 6)
@@ -442,9 +445,15 @@ def ivf_topk_seeded(
         .filter(F.col("_qrank") <= n_probe)
         .select(qid, qvec, F.col("cent_id").alias("_cell"))
     )
-    scored = qb.join(cb, "_cell").withColumn(
-        "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
+    scored = (
+        qb.join(cb, "_cell")
+        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+        .select(qid, cid, "cosine")
     )
+    if spill > 1:
+        # same invariant break as ivf_topk: a pair is joinable through up
+        # to `spill` shared cells — dedup before the rank window
+        scored = scored.dropDuplicates([qid, cid])
     w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
     return (
         scored.withColumn("rank", F.row_number().over(w))
