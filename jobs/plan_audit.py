@@ -81,7 +81,7 @@ def main(out_path: str = "PLANS.md") -> int:
 
     # ---- round-2 operators: events + IVF ----
     events_path = "/root/testdata/sf0.001/events.parquet"
-    plan_rollup = plan_sessions = plan_ivf = plan_ivfs = ""
+    plan_rollup = plan_sessions = plan_ivf = plan_ivfs = plan_ivfsp = ""
     if os.path.exists(events_path):
         from lshdedup.events import hourly_rollup, sessionize
 
@@ -121,6 +121,17 @@ def main(out_path: str = "PLANS.md") -> int:
             plan_ivf,
             "Candidate generation is an equi-join on the coarse cell id — "
             "never a cartesian/broadcast-nested-loop product.",
+        ))
+        plan_ivfsp = captured_explain(
+            ivf_topk(q, c, k=5, dim=64, n_cells=8, n_probe=2, corpus_spill=2)
+        )
+        sections.append((
+            "IVF ANN top-k with cell spilling (corpus_spill=2)",
+            plan_ivfsp,
+            "Same cell equi-join, plus exactly one (qid, cid) dedup "
+            "aggregate over the 3-column candidate projection (a pair is "
+            "joinable through up to `spill` shared cells) before the rank "
+            "window — the only plan cost spilling adds.",
         ))
         from lshdedup.ann import ivf_topk_seeded
 
@@ -194,6 +205,17 @@ def main(out_path: str = "PLANS.md") -> int:
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if bad in plan_ivf:
                 problems.append(f"IVF candidate join degenerated to {bad}")
+    if plan_ivfsp:
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan_ivfsp:
+                problems.append(f"spilled-IVF candidate join degenerated to {bad}")
+        # formatted explain puts the Exchange header and its
+        # "Arguments: hashpartitioning(...)" detail on separate lines
+        if not re.search(r"hashpartitioning\(qid#\d+L?, cid#", plan_ivfsp):
+            problems.append(
+                "spilled-IVF plan is missing the (qid, cid) dedup exchange "
+                "(duplicate pairs would inflate row_number ranks)"
+            )
     if plan_ivfs:
         if "TakeOrderedAndProject" not in plan_pick:
             problems.append("seeded-IVF centroid pick is not TakeOrderedAndProject")
