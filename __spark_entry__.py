@@ -1088,6 +1088,89 @@ def q_jpeg_block_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.repartition(8).mapInPandas(dec, schema)
 
 
+# mjpeg_frame_stats geometry: VD_F frames per video (same 4×6-block
+# constant-block family as jpeg_block_roundtrip), every VD_EVERY-th
+# frame sampled; video count tracks sf_dir's documents count, clamped
+VD_F, VD_EVERY = 12, 3
+VD_N_MIN, VD_N_MAX = 64, 128
+
+
+def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container path under the value-exact hash gate (round
+    5): MJPEG frame sampling → JPEG decode, end to end in executors.
+
+    Corpus: one MJPEG stream per video — VD_F genuine baseline JPEGs
+    concatenated (the MJPEG wire convention), each frame from the same
+    constant-8×8-block family as jpeg_block_roundtrip with pixel values
+    splitmix64((vid·VD_F + frame)·24 + block) % 256, which makes the
+    lossy wire path mathematically lossless (DC multiple of the
+    quantizer step, zero AC — see q_jpeg_block_roundtrip).
+
+    Engine: sample_video_frames (jpeg.split_mjpeg's STRUCTURAL marker
+    walk — not a byte scan — runs in executors) keeps every 3rd frame;
+    the sampled frames' bytes are decoded with decode_jpeg and reduced
+    to integer pixel statistics.  The oracle recomputes the statistics
+    of exactly the sampled frames (frame % 3 = 0) from the generative
+    formula in pure integer SQL.  A hash match pins the whole chain:
+    frame boundaries found structurally, frames extracted byte-exact,
+    real JPEG entropy decode, sampling arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from lshdedup.hashing import splitmix64
+    from lshdedup.jpeg import decode_jpeg, encode_jpeg
+    from lshdedup.multimodal import sample_video_frames
+
+    gr, gc = JB_GRID
+    nb = gr * gc
+    n_docs = _docs(spark, sf_dir).count()
+    n = max(VD_N_MIN, min(VD_N_MAX, n_docs))
+    vals = (
+        splitmix64(np.arange(n * VD_F * nb, dtype=np.uint64)) % np.uint64(256)
+    ).astype(np.uint8).reshape(n, VD_F, gr, gc)
+    ones = np.ones((8, 8), np.uint8)
+    rows = [
+        (
+            str(v),
+            bytearray(
+                b"".join(encode_jpeg(np.kron(vals[v, f], ones)) for f in range(VD_F))
+            ),
+            "mjpeg",
+        )
+        for v in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+    )
+
+    sampled = sample_video_frames(corpus.repartition(8), every_n=VD_EVERY)
+    schema = (
+        "video_id string, frame_idx int, pixel_sum long, px_min int, "
+        "px_max int, n_px int"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            out = []
+            for rid, idx, data in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["bytes"]
+            ):
+                px = decode_jpeg(bytes(data))
+                out.append(
+                    (rid, int(idx), int(px.sum()), int(px.min()),
+                     int(px.max()), int(px.size))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "video_id", "frame_idx", "pixel_sum", "px_min",
+                    "px_max", "n_px",
+                ],
+            )
+
+    return sampled.mapInPandas(dec, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_profile": q_shingle_profile,
@@ -1128,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_pairs": q_streaming_dedup_pairs,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
         "jpeg_block_roundtrip": q_jpeg_block_roundtrip,
+        "mjpeg_frame_stats": q_mjpeg_frame_stats,
     }
 
 
@@ -2194,5 +2278,45 @@ def oracle_sql() -> dict[str, str]:
                {jb_nb} * 64 AS n_px
         FROM vals
         GROUP BY img_id
+    """
+
+    # mjpeg_frame_stats: statistics of every VD_EVERY-th frame of each
+    # MJPEG stream, recomputed from the generative formula
+    # val = splitmix64((vid·VD_F + frame)·nb + block) % 256 in pure
+    # integer SQL.  The Spark side gets these numbers by structurally
+    # splitting REAL concatenated-JPEG streams and entropy-decoding the
+    # sampled frames in executors (see q_mjpeg_frame_stats).
+    sql["mjpeg_frame_stats"] = f"""
+        WITH params AS (
+          SELECT GREATEST({VD_N_MIN},
+                          LEAST({VD_N_MAX},
+                                (SELECT count(*) FROM documents))) AS n
+        ),
+        xs AS (
+          SELECT unnest(range(0,
+                   (SELECT n FROM params) * {VD_F} * {jb_nb})) AS x
+        ),
+        s0 AS (SELECT x, (x::HUGEINT + {jb_gamma}::HUGEINT) % {_W64} AS z
+               FROM xs),
+        s1 AS (SELECT x, xor(z, z // 1073741824::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT x, {_mulmod_sql('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
+        s3 AS (SELECT x, xor(z, z // 134217728::HUGEINT) AS z FROM s2),
+        s4 AS (SELECT x, {_mulmod_sql('z', 0x94D049BB133111EB)} AS z FROM s3),
+        s5 AS (SELECT x, xor(z, z // 2147483648::HUGEINT) AS z FROM s4),
+        vals AS (
+          SELECT x // ({VD_F} * {jb_nb}) AS vid,
+                 (x // {jb_nb}) % {VD_F} AS frame,
+                 CAST(z % 256 AS INT) AS v
+          FROM s5
+        )
+        SELECT CAST(vid AS VARCHAR) AS video_id,
+               CAST(frame AS INT) AS frame_idx,
+               CAST(64 * sum(v) AS BIGINT) AS pixel_sum,
+               MIN(v) AS px_min,
+               MAX(v) AS px_max,
+               {jb_nb} * 64 AS n_px
+        FROM vals
+        WHERE frame % {VD_EVERY} = 0
+        GROUP BY vid, frame
     """
     return sql

@@ -547,3 +547,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     )
     # luma plane covers ceil(h / (8*vmax)) * v * 8 rows; crop to frame
     return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a concatenated baseline-JPEG stream into its frames.
+
+    "MJPEG" on the wire (multipart HTTP streams, AVI 'MJPG' chunks with
+    the container stripped) is exactly a concatenation of standalone
+    baseline JPEGs, so the split IS the container parse.  The walk is
+    STRUCTURAL — marker segments are skipped by their declared length and
+    the entropy-coded scan by its stuffing rules — because a naive scan
+    for the EOI byte pair 0xFFD9 is wrong: DQT/DHT/APPn/COM segment
+    payloads are arbitrary bytes and may contain 0xFFD9 (only the
+    entropy-coded stream guarantees 0xFF is followed by 0x00 or RSTn).
+
+    Each returned element is a complete SOI..EOI frame decodable by
+    decode_jpeg.  Raises ValueError on truncation, a missing SOI, or a
+    multi-scan frame (this baseline family is always single-scan).
+    """
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        p = pos + 2
+        while True:  # marker segments up to SOS / EOI
+            if p + 2 > n or data[p] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at byte {p}")
+            while data[p + 1] == 0xFF:  # optional fill bytes
+                p += 1
+            marker = data[p + 1]
+            if marker == 0xD9:  # EOI before SOS: degenerate empty frame
+                p += 2
+                break
+            if p + 4 > n:
+                raise ValueError("MJPEG: truncated marker segment")
+            (seg_len,) = struct.unpack(">H", data[p + 2 : p + 4])
+            p += 2 + seg_len
+            if marker != 0xDA:  # not SOS: next marker segment
+                continue
+            while True:  # entropy-coded scan: FF00 stuffing, RSTn inside
+                if p >= n:
+                    raise ValueError("MJPEG: truncated entropy scan")
+                if data[p] != 0xFF:
+                    p += 1
+                    continue
+                if p + 1 >= n:
+                    raise ValueError("MJPEG: truncated marker in scan")
+                nxt = data[p + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    p += 2
+                    continue
+                break
+            if data[p + 1] != 0xD9:
+                raise ValueError(
+                    f"MJPEG: unexpected in-frame marker 0xFF{data[p + 1]:02X}"
+                    " (multi-scan frames unsupported)"
+                )
+            p += 2
+            break
+        frames.append(data[pos:p])
+        pos = p
+    return frames

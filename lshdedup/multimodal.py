@@ -2,11 +2,14 @@
 with typed metadata (graft extras; NOT in the reference).
 
 The Spark-side machinery (schema, partition-preserving mapInPandas, Arrow
-batch shapes, metadata extraction, PSNR validation) is real and tested with
-the deterministic sandbox codecs (codec.py).  Real decoders (libjpeg,
-ffmpeg) are absent from this container and are stubbed behind
-NotImplementedError at exactly one call site (codec.decode_real), so
-swapping them in changes no plumbing.
+batch shapes, metadata extraction, PSNR validation) is real and tested.
+PNG and baseline JPEG decode for real via the stdlib codecs (png.py,
+jpeg.py), as does MJPEG frame sampling (split_mjpeg — concatenated
+JPEGs ARE the MJPEG wire convention).  What genuinely needs external
+libraries (webp; ffmpeg containers mp4/webm/mkv) stays stubbed behind
+NotImplementedError at exactly two call sites (codec.decode_real and the
+fmt dispatch in sample_video_frames), so swapping real decoders in
+changes no plumbing.
 """
 
 from __future__ import annotations
@@ -100,10 +103,19 @@ def resize_images(df: DataFrame, target: int, id_col: str = "image_id") -> DataF
     return df.select(id_col, "bytes", "fmt").mapInPandas(rsz, RESIZED_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB.  The plumbing contract is identical to
-    image_features (binary column in, exploded per-frame rows out); an
-    ffmpeg-backed decoder replaces the raise on a real cluster."""
+def sample_video_frames(
+    df: DataFrame, every_n: int = 30, id_col: str = "video_id"
+) -> DataFrame:
+    """Video frame sampling: binary column in, exploded per-frame rows out
+    (one row per sampled frame, carrying the frame's own image bytes so the
+    output composes directly with image_features under fmt='jpeg').
+
+    fmt == 'mjpeg' (concatenated baseline JPEGs — the MJPEG wire
+    convention) is handled for REAL: jpeg.split_mjpeg walks the marker
+    structure in executors and every_n-th frame is emitted; no external
+    decoder involved.  Container formats that require ffmpeg (mp4, webm,
+    mkv) still raise NotImplementedError at exactly this one call site —
+    an ffmpeg-backed demuxer slots in without touching the plumbing."""
 
     schema = StructType(
         [
@@ -114,10 +126,19 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires ffmpeg, absent from this sandbox; "
-            "plumbing (schema/batching) is in place — see multimodal.py"
-        )
-        yield  # pragma: no cover
+        from lshdedup.jpeg import split_mjpeg
 
-    return df.mapInPandas(sample, schema)
+        for pdf in batches:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                if fmt != "mjpeg":
+                    raise NotImplementedError(
+                        f"video container {fmt!r} requires ffmpeg, absent "
+                        "from this sandbox; 'mjpeg' decodes natively"
+                    )
+                frames = split_mjpeg(bytes(data))
+                for i in range(0, len(frames), every_n):
+                    rows.append((rid, i, bytearray(frames[i])))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(sample, schema)

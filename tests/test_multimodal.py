@@ -55,13 +55,78 @@ def test_image_features_decodes_real_png(spark):
         assert (a["w"], a["h"]) == (b["w"], b["h"]) == (16, 16)
 
 
-def test_video_stub_raises(spark):
-    df = spark.createDataFrame([("v1", bytearray(b"fake"))], ["video_id", "bytes"])
+def test_video_ffmpeg_container_raises(spark):
+    """Non-MJPEG containers still stub loudly at the one decode site."""
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"fake"), "mp4")], ["video_id", "bytes", "fmt"]
+    )
     with pytest.raises(Exception) as exc_info:
         sample_video_frames(df).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_video_mjpeg_frame_sampling_real(spark):
+    """MJPEG (concatenated baseline JPEGs) is sampled for REAL: every_n-th
+    frame comes back byte-identical to the frame that was concatenated in,
+    and the sampled rows compose with image_features under fmt='jpeg'
+    (the decoded constant frame has an exact mean)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshdedup.jpeg import encode_jpeg
+
+    videos, frames = {}, {}
+    for v in range(2):
+        fs = [
+            encode_jpeg(np.full((16, 16), (v * 7 + i * 31) % 256, np.uint8))
+            for i in range(7)
+        ]
+        frames[f"v{v}"] = fs
+        videos[f"v{v}"] = b"".join(fs)
+    df = spark.createDataFrame(
+        [(k, bytearray(b), "mjpeg") for k, b in videos.items()],
+        ["video_id", "bytes", "fmt"],
+    )
+    out = sample_video_frames(df, every_n=3).collect()
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["bytes"]) for r in out}
+    assert sorted(got) == [(f"v{v}", i) for v in range(2) for i in (0, 3, 6)]
+    for (vid, i), b in got.items():
+        assert b == frames[vid][i]  # byte-identical frame extraction
+    sampled = sample_video_frames(df, every_n=3).withColumn(
+        "fmt", F.lit("jpeg")
+    ).withColumn(
+        "image_id", F.concat_ws(":", "video_id", "frame_idx")
+    )
+    feats = {r["image_id"]: r for r in image_features(sampled).collect()}
+    for v in range(2):
+        for i in (0, 3, 6):
+            # constant 8x8 blocks are lossless under JPEG quantization
+            assert feats[f"v{v}:{i}"]["mean_luma"] == float((v * 7 + i * 31) % 256)
+
+
+def test_split_mjpeg_structural_not_byte_scan():
+    """A COM segment whose payload contains the EOI byte pair 0xFFD9 must
+    not split the frame early (the walk is structural, not a byte scan),
+    and the decoder skips the segment by its declared length."""
+    import struct
+
+    import numpy as np
+
+    from lshdedup.jpeg import decode_jpeg, encode_jpeg, split_mjpeg
+
+    f0 = encode_jpeg(np.full((16, 16), 99, np.uint8))
+    f1 = encode_jpeg(np.full((16, 16), 200, np.uint8))
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 4) + b"\xff\xd9\x00\xff"
+    mod = f0[:2] + com + f0[2:]
+    parts = split_mjpeg(mod + f1)
+    assert len(parts) == 2 and parts[0] == mod and parts[1] == f1
+    assert np.array_equal(decode_jpeg(mod), decode_jpeg(f0))
+    with pytest.raises(ValueError):
+        split_mjpeg(f0[: len(f0) // 2])  # truncated scan stays loud
+    with pytest.raises(ValueError):
+        split_mjpeg(b"\x00" + f0)  # missing SOI stays loud
 
 
 def test_image_features_decodes_real_jpeg(spark):
