@@ -1171,6 +1171,50 @@ def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.mapInPandas(dec, schema)
 
 
+# wav_sample_stats geometry: WA_S PCM16 samples per mono clip at 16 kHz;
+# clip count tracks sf_dir's documents count, clamped
+WA_S = 1024
+WA_N_MIN, WA_N_MAX = 128, 256
+
+
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio wire format under the value-exact hash gate (round 5):
+    RIFF/WAVE PCM16 decode in executors via the stdlib codec (wav.py).
+
+    Corpus: mono 16 kHz clips whose samples are
+    splitmix64(aid·WA_S + i) % 65536 − 32768, encoded as genuine WAV
+    driver-side (encode_wav); decoded in EXECUTORS by
+    multimodal.audio_features (structural RIFF chunk walk + int16 frame
+    unpack); output = the operator's integer per-clip statistics.  PCM
+    is lossless by definition, so unlike the JPEG queries no family
+    restriction is needed — every sample value round-trips bit-exactly,
+    and a hash match pins header layout, chunk sizes, the odd-size pad
+    rule, and little-endian int16 decoding.  The oracle recomputes the
+    statistics from the generative formula in pure integer SQL (same
+    splitmix64 chain as the OPH/JPEG oracles)."""
+    import numpy as np
+    import pandas as pd
+
+    from lshdedup.hashing import splitmix64
+    from lshdedup.multimodal import audio_features
+    from lshdedup.wav import encode_wav
+
+    n_docs = _docs(spark, sf_dir).count()
+    n = max(WA_N_MIN, min(WA_N_MAX, n_docs))
+    vals = (
+        (splitmix64(np.arange(n * WA_S, dtype=np.uint64)) % np.uint64(65536))
+        .astype(np.int64) - 32768
+    ).astype(np.int16).reshape(n, WA_S)
+    rows = [
+        (str(a), bytearray(encode_wav(vals[a], rate=16000)), "wav")
+        for a in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    return audio_features(corpus.repartition(8))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_profile": q_shingle_profile,
@@ -1212,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
         "jpeg_block_roundtrip": q_jpeg_block_roundtrip,
         "mjpeg_frame_stats": q_mjpeg_frame_stats,
+        "wav_sample_stats": q_wav_sample_stats,
     }
 
 
@@ -2318,5 +2363,41 @@ def oracle_sql() -> dict[str, str]:
         FROM vals
         WHERE frame % {VD_EVERY} = 0
         GROUP BY vid, frame
+    """
+
+    # wav_sample_stats: per-clip statistics of the PCM16 samples
+    # val = splitmix64(aid·WA_S + i) % 65536 − 32768, recomputed in pure
+    # integer SQL.  The Spark side gets these numbers by decoding REAL
+    # RIFF/WAVE bytes in executors (see q_wav_sample_stats).
+    sql["wav_sample_stats"] = f"""
+        WITH params AS (
+          SELECT GREATEST({WA_N_MIN},
+                          LEAST({WA_N_MAX},
+                                (SELECT count(*) FROM documents))) AS n
+        ),
+        xs AS (
+          SELECT unnest(range(0, (SELECT n FROM params) * {WA_S})) AS x
+        ),
+        s0 AS (SELECT x, (x::HUGEINT + {jb_gamma}::HUGEINT) % {_W64} AS z
+               FROM xs),
+        s1 AS (SELECT x, xor(z, z // 1073741824::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT x, {_mulmod_sql('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
+        s3 AS (SELECT x, xor(z, z // 134217728::HUGEINT) AS z FROM s2),
+        s4 AS (SELECT x, {_mulmod_sql('z', 0x94D049BB133111EB)} AS z FROM s3),
+        s5 AS (SELECT x, xor(z, z // 2147483648::HUGEINT) AS z FROM s4),
+        vals AS (
+          SELECT x // {WA_S} AS aid,
+                 CAST(z % 65536 AS INT) - 32768 AS v
+          FROM s5
+        )
+        SELECT CAST(aid AS VARCHAR) AS audio_id,
+               16000 AS sample_rate,
+               1 AS channels,
+               {WA_S} AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sample_sum,
+               MIN(v) AS smp_min,
+               MAX(v) AS smp_max
+        FROM vals
+        GROUP BY aid
     """
     return sql

@@ -4,11 +4,12 @@ with typed metadata (graft extras; NOT in the reference).
 The Spark-side machinery (schema, partition-preserving mapInPandas, Arrow
 batch shapes, metadata extraction, PSNR validation) is real and tested.
 PNG and baseline JPEG decode for real via the stdlib codecs (png.py,
-jpeg.py), as does MJPEG frame sampling (split_mjpeg — concatenated
-JPEGs ARE the MJPEG wire convention).  What genuinely needs external
-libraries (webp; ffmpeg containers mp4/webm/mkv) stays stubbed behind
-NotImplementedError at exactly two call sites (codec.decode_real and the
-fmt dispatch in sample_video_frames), so swapping real decoders in
+jpeg.py), as do MJPEG frame sampling (split_mjpeg — concatenated JPEGs
+ARE the MJPEG wire convention) and WAV PCM16 audio (wav.py).  What
+genuinely needs external libraries (webp; ffmpeg containers
+mp4/webm/mkv; mp3/flac/ogg audio) stays stubbed behind
+NotImplementedError at exactly three dispatch sites (codec.decode_real,
+sample_video_frames, audio_features), so swapping real decoders in
 changes no plumbing.
 """
 
@@ -101,6 +102,62 @@ def resize_images(df: DataFrame, target: int, id_col: str = "image_id") -> DataF
             yield pd.DataFrame(rows, columns=RESIZED_SCHEMA.fieldNames())
 
     return df.select(id_col, "bytes", "fmt").mapInPandas(rsz, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("smp_min", IntegerType()),
+        StructField("smp_max", IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Decode + feature-extract over an audio binary column via
+    mapInPandas — the audio sibling of image_features.  fmt == 'wav'
+    (RIFF PCM16) decodes for REAL via the stdlib codec (wav.py); formats
+    that need external decoders (mp3, flac, ogg) raise
+    NotImplementedError at exactly this dispatch site.
+
+    Features are integer-exact on purpose (sum/min/max over all
+    channels) so a value-level oracle can pin the whole wire path; float
+    aggregates (RMS, dBFS) derive trivially downstream in native SQL
+    from sample_sum-style moments if needed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lshdedup.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio format {fmt!r} requires an external "
+                        "decoder, absent from this sandbox; 'wav' decodes "
+                        "natively"
+                    )
+                rate, s = decode_wav(bytes(data))
+                rows.append(
+                    (
+                        rid,
+                        int(rate),
+                        int(s.shape[1]),
+                        int(s.shape[0]),
+                        int(s.sum(dtype=np.int64)),
+                        int(s.min()) if s.size else 0,
+                        int(s.max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def sample_video_frames(

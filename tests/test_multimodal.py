@@ -163,3 +163,83 @@ def test_image_features_decodes_real_jpeg(spark):
         assert abs(a["mean_luma"] - b["mean_luma"]) <= 2.0
         ham = bin((a["phash"] ^ b["phash"]) & ((1 << 64) - 1)).count("1")
         assert ham <= 10
+
+
+def test_wav_roundtrip_and_structural_chunk_walk():
+    """RIFF PCM16 codec: encode→decode roundtrip (mono, stereo, odd-length
+    data + pad byte), and a LIST chunk whose payload contains the ASCII
+    string 'data' must not derail the walk (structural, not a byte scan)."""
+    import struct
+
+    import numpy as np
+
+    from lshdedup.wav import decode_wav, encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    mono = rng.integers(-32768, 32768, 501, dtype=np.int16)  # odd data size
+    rate, got = decode_wav(encode_wav(mono, rate=8000))
+    assert rate == 8000 and got.shape == (501, 1)
+    assert np.array_equal(got[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32768, (200, 2), dtype=np.int16)
+    rate, got = decode_wav(encode_wav(stereo, rate=44100))
+    assert rate == 44100 and np.array_equal(got, stereo)
+
+    # adversarial: LIST chunk payload containing b"data" before the real
+    # data chunk — size-skip must step over it, pad byte honored (odd size)
+    wav = encode_wav(mono, rate=8000)
+    payload = b"INFOdata\x01\x02\x03"  # 11 bytes, odd -> pad byte
+    listc = b"LIST" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    hacked = (
+        b"RIFF"
+        + struct.pack("<I", struct.unpack("<I", wav[4:8])[0] + len(listc))
+        + b"WAVE" + listc + wav[12:]
+    )
+    rate, got = decode_wav(hacked)
+    assert rate == 8000 and np.array_equal(got[:, 0], mono)
+
+    with pytest.raises(ValueError):
+        decode_wav(wav[:40])  # truncated data chunk stays loud
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])  # wrong magic
+    # float PCM (tag 3) refused, not silently misread
+    bad = bytearray(wav)
+    tag_off = wav.index(b"fmt ") + 8
+    bad[tag_off : tag_off + 2] = struct.pack("<H", 3)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_real_wav(spark):
+    """audio_features decodes genuine WAV bytes in executors; integer
+    stats match numpy on the source samples; non-wav formats raise."""
+    import numpy as np
+
+    from lshdedup.multimodal import audio_features
+    from lshdedup.wav import encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    rows, src = [], {}
+    for i in range(4):
+        s = rng.integers(-32768, 32768, (300 + i, 1 + i % 2), dtype=np.int16)
+        src[f"a{i}"] = s
+        rows.append((f"a{i}", bytearray(encode_wav(s, rate=16000)), "wav"))
+    df = spark.createDataFrame(rows, ["audio_id", "bytes", "fmt"])
+    got = {r["audio_id"]: r for r in audio_features(df).collect()}
+    assert len(got) == 4
+    for k, s in src.items():
+        r = got[k]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (
+            16000, s.shape[1], s.shape[0],
+        )
+        assert r["sample_sum"] == int(s.sum(dtype=np.int64))
+        assert (r["smp_min"], r["smp_max"]) == (int(s.min()), int(s.max()))
+
+    mp3 = spark.createDataFrame(
+        [("x", bytearray(b"ID3fake"), "mp3")], ["audio_id", "bytes", "fmt"]
+    )
+    with pytest.raises(Exception) as exc_info:
+        audio_features(mp3).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
