@@ -1171,6 +1171,78 @@ def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.mapInPandas(dec, schema)
 
 
+# gif_frame_stats geometry: GF_F frames of GF_H×GF_W random pixels per
+# animated GIF, every GF_EVERY-th frame sampled; video count tracks
+# sf_dir's documents count, clamped
+GF_F, GF_EVERY = 8, 2
+GF_H, GF_W = 16, 24
+GF_N_MIN, GF_N_MAX = 64, 128
+
+
+def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF path under the value-exact hash gate (round 5):
+    GIF container walk + full LZW decode + frame sampling, end to end in
+    executors.  Unlike the JPEG queries no pixel-family restriction is
+    needed — GIF is LOSSLESS, so the frames are unconstrained splitmix
+    noise (the LZW worst case: literal-heavy streams with width growth)
+    and every pixel round-trips bit-exactly through real wire bytes.
+
+    Engine: animated GIFs built driver-side (encode_gif — real LZW
+    compression, grayscale palette); sample_video_frames keeps every 2nd
+    frame, re-encoding each as a single-frame GIF; the sampled bytes are
+    decoded with decode_gif and reduced to integer pixel statistics.
+    The oracle recomputes the statistics of exactly the sampled frames
+    (frame % 2 = 0) from the generative formula
+    val = splitmix64((vid·GF_F + frame)·GF_H·GF_W + p) % 256 in pure
+    integer SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from lshdedup.gif import decode_gif, encode_gif
+    from lshdedup.hashing import splitmix64
+    from lshdedup.multimodal import sample_video_frames
+
+    npx = GF_H * GF_W
+    n_docs = _docs(spark, sf_dir).count()
+    n = max(GF_N_MIN, min(GF_N_MAX, n_docs))
+    vals = (
+        splitmix64(np.arange(n * GF_F * npx, dtype=np.uint64)) % np.uint64(256)
+    ).astype(np.uint8).reshape(n, GF_F, GF_H, GF_W)
+    rows = [
+        (str(v), bytearray(encode_gif(list(vals[v]))), "gif")
+        for v in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+    )
+    sampled = sample_video_frames(corpus.repartition(8), every_n=GF_EVERY)
+    schema = (
+        "video_id string, frame_idx int, pixel_sum long, px_min int, "
+        "px_max int, n_px int"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            out = []
+            for rid, idx, data in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["bytes"]
+            ):
+                px = decode_gif(bytes(data))[0]
+                out.append(
+                    (rid, int(idx), int(px.sum()), int(px.min()),
+                     int(px.max()), int(px.size))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "video_id", "frame_idx", "pixel_sum", "px_min",
+                    "px_max", "n_px",
+                ],
+            )
+
+    return sampled.mapInPandas(dec, schema)
+
+
 # wav_sample_stats geometry: WA_S PCM16 samples per mono clip at 16 kHz;
 # clip count tracks sf_dir's documents count, clamped
 WA_S = 1024
@@ -1257,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_block_roundtrip": q_jpeg_block_roundtrip,
         "mjpeg_frame_stats": q_mjpeg_frame_stats,
         "wav_sample_stats": q_wav_sample_stats,
+        "gif_frame_stats": q_gif_frame_stats,
     }
 
 
@@ -2399,5 +2472,46 @@ def oracle_sql() -> dict[str, str]:
                MAX(v) AS smp_max
         FROM vals
         GROUP BY aid
+    """
+
+    # gif_frame_stats: statistics of every GF_EVERY-th frame of each
+    # animated GIF, recomputed from the generative formula
+    # val = splitmix64((vid·GF_F + frame)·npx + p) % 256 in pure integer
+    # SQL.  The Spark side gets these numbers by walking REAL GIF
+    # containers and LZW-decoding the sampled frames in executors
+    # (see q_gif_frame_stats) — lossless, so no family restriction.
+    gf_npx = GF_H * GF_W
+    sql["gif_frame_stats"] = f"""
+        WITH params AS (
+          SELECT GREATEST({GF_N_MIN},
+                          LEAST({GF_N_MAX},
+                                (SELECT count(*) FROM documents))) AS n
+        ),
+        xs AS (
+          SELECT unnest(range(0,
+                   (SELECT n FROM params) * {GF_F} * {gf_npx})) AS x
+        ),
+        s0 AS (SELECT x, (x::HUGEINT + {jb_gamma}::HUGEINT) % {_W64} AS z
+               FROM xs),
+        s1 AS (SELECT x, xor(z, z // 1073741824::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT x, {_mulmod_sql('z', 0xBF58476D1CE4E5B9)} AS z FROM s1),
+        s3 AS (SELECT x, xor(z, z // 134217728::HUGEINT) AS z FROM s2),
+        s4 AS (SELECT x, {_mulmod_sql('z', 0x94D049BB133111EB)} AS z FROM s3),
+        s5 AS (SELECT x, xor(z, z // 2147483648::HUGEINT) AS z FROM s4),
+        vals AS (
+          SELECT x // ({GF_F} * {gf_npx}) AS vid,
+                 (x // {gf_npx}) % {GF_F} AS frame,
+                 CAST(z % 256 AS INT) AS v
+          FROM s5
+        )
+        SELECT CAST(vid AS VARCHAR) AS video_id,
+               CAST(frame AS INT) AS frame_idx,
+               CAST(sum(v) AS BIGINT) AS pixel_sum,
+               MIN(v) AS px_min,
+               MAX(v) AS px_max,
+               {gf_npx} AS n_px
+        FROM vals
+        WHERE frame % {GF_EVERY} = 0
+        GROUP BY vid, frame
     """
     return sql

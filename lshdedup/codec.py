@@ -204,17 +204,21 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_real(data: bytes, fmt: str) -> np.ndarray:
-    """Decode a real image format.  PNG and baseline JPEG are fully
-    implemented in stdlib+numpy (decode_png above, jpeg.decode_jpeg);
-    webp/video still require image libraries absent from this sandbox
-    and stay stubbed — on a real cluster they dispatch to PIL/libvips
-    inside the same mapInPandas plumbing."""
+    """Decode a real image format.  PNG, baseline JPEG, and GIF are fully
+    implemented in stdlib+numpy (decode_png above, jpeg.decode_jpeg,
+    gif.decode_gif — first frame); webp still requires image libraries
+    absent from this sandbox and stays stubbed — on a real cluster it
+    dispatches to PIL/libvips inside the same mapInPandas plumbing."""
     if fmt == "png":
         return decode_png(data)
     if fmt in ("jpeg", "jpg"):
         from lshdedup.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from lshdedup.gif import decode_gif
+
+        return decode_gif(data)[0]
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent

@@ -167,12 +167,16 @@ def sample_video_frames(
     (one row per sampled frame, carrying the frame's own image bytes so the
     output composes directly with image_features under fmt='jpeg').
 
+    Two containers are handled for REAL, no external decoder involved:
     fmt == 'mjpeg' (concatenated baseline JPEGs — the MJPEG wire
-    convention) is handled for REAL: jpeg.split_mjpeg walks the marker
-    structure in executors and every_n-th frame is emitted; no external
-    decoder involved.  Container formats that require ffmpeg (mp4, webm,
-    mkv) still raise NotImplementedError at exactly this one call site —
-    an ffmpeg-backed demuxer slots in without touching the plumbing."""
+    convention; jpeg.split_mjpeg walks the marker structure in executors
+    and every_n-th frame's bytes are emitted verbatim) and fmt == 'gif'
+    (animated GIF89a; gif.decode_gif composites the frame chain, and
+    every_n-th composited frame is re-encoded as a single-frame GIF —
+    lossless, so the sampled bytes decode to the exact frame).  Container
+    formats that require ffmpeg (mp4, webm, mkv) still raise
+    NotImplementedError at exactly this one call site — an ffmpeg-backed
+    demuxer slots in without touching the plumbing."""
 
     schema = StructType(
         [
@@ -183,19 +187,28 @@ def sample_video_frames(
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lshdedup.gif import decode_gif, encode_gif
         from lshdedup.jpeg import split_mjpeg
 
         for pdf in batches:
             rows = []
             for rid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                if fmt != "mjpeg":
+                if fmt == "mjpeg":
+                    frames = split_mjpeg(bytes(data))
+                    for i in range(0, len(frames), every_n):
+                        rows.append((rid, i, bytearray(frames[i])))
+                elif fmt == "gif":
+                    frames = decode_gif(bytes(data))
+                    for i in range(0, len(frames), every_n):
+                        rows.append(
+                            (rid, i, bytearray(encode_gif(frames[i])))
+                        )
+                else:
                     raise NotImplementedError(
                         f"video container {fmt!r} requires ffmpeg, absent "
-                        "from this sandbox; 'mjpeg' decodes natively"
+                        "from this sandbox; 'mjpeg' and 'gif' decode "
+                        "natively"
                     )
-                frames = split_mjpeg(bytes(data))
-                for i in range(0, len(frames), every_n):
-                    rows.append((rid, i, bytearray(frames[i])))
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return df.select(id_col, "bytes", "fmt").mapInPandas(sample, schema)

@@ -243,3 +243,82 @@ def test_audio_features_real_wav(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_gif_codec_roundtrip_and_lzw_edges():
+    """GIF89a codec: lossless roundtrip through real LZW (multi-symbol
+    codes, width growth, 4096-table reset, the KwKwK special case),
+    partial-frame compositing, and structural extension skipping —
+    extension payloads containing the image separator 0x2C and trailer
+    0x3B must not derail the walk."""
+    import struct
+
+    import numpy as np
+
+    from lshdedup.gif import decode_gif, encode_gif
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    frames = [rng.integers(0, 256, (16, 24), dtype=np.uint8) for _ in range(4)]
+    got = decode_gif(encode_gif(frames))
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+    big = np.zeros((200, 300), np.uint8)  # forces a 4096-entry table reset
+    assert np.array_equal(decode_gif(encode_gif([big]))[0], big)
+    assert len(encode_gif([big])) < big.size // 20  # compression is real
+
+    # adversarial: a comment extension whose payload contains 0x2C and
+    # 0x3B — the sub-block walk must skip it by size, not by byte value
+    gif = encode_gif(frames[:1])
+    evil = b"\x21\xfe" + bytes([4]) + b"\x2c\x3b\x2c\x3b" + b"\x00"
+    hacked = gif[:13] + gif[13 : 13 + 768] + evil + gif[13 + 768 :]
+    assert np.array_equal(decode_gif(hacked)[0], frames[0])
+
+    # partial frame composites onto the previous canvas (disposal 1)
+    base = encode_gif([np.full((10, 10), 7, np.uint8)])
+    patch = np.full((4, 4), 200, np.uint8)
+    from lshdedup.gif import _gray_palette, _lzw_encode, _sub_blocks
+
+    img2 = (
+        b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0) + bytes([8])
+        + _sub_blocks(_lzw_encode(patch.reshape(-1)))
+    )
+    two = base[:-1] + img2 + b"\x3b"
+    fs = decode_gif(two)
+    assert len(fs) == 2
+    expect = np.full((10, 10), 7, np.uint8)
+    expect[2:6, 3:7] = 200
+    assert np.array_equal(fs[1], expect)
+
+    with pytest.raises(ValueError):
+        decode_gif(gif[: len(gif) // 2])  # truncated stays loud
+    interlaced = bytearray(encode_gif(frames[:1]))
+    interlaced[13 + 768 + 8 + 9] |= 0x40  # set interlace flag in descriptor
+    with pytest.raises(ValueError):
+        decode_gif(bytes(interlaced))
+
+
+def test_video_gif_frame_sampling_real(spark):
+    """Animated GIF is the LOSSLESS video container: sampled frames
+    decode to the exact composited source frames, through real LZW wire
+    bytes, in executors."""
+    import numpy as np
+
+    from lshdedup.gif import decode_gif, encode_gif
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    vids, src = {}, {}
+    for v in range(2):
+        fs = [rng.integers(0, 256, (12, 18), dtype=np.uint8) for _ in range(7)]
+        src[f"g{v}"] = fs
+        vids[f"g{v}"] = encode_gif(fs)
+    df = spark.createDataFrame(
+        [(k, bytearray(b), "gif") for k, b in vids.items()],
+        ["video_id", "bytes", "fmt"],
+    )
+    out = sample_video_frames(df, every_n=3).collect()
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["bytes"]) for r in out}
+    assert sorted(got) == [(f"g{v}", i) for v in range(2) for i in (0, 3, 6)]
+    for (vid, i), b in got.items():
+        assert np.array_equal(decode_gif(b)[0], src[vid][i])
