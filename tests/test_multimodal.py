@@ -322,3 +322,43 @@ def test_video_gif_frame_sampling_real(spark):
     assert sorted(got) == [(f"g{v}", i) for v in range(2) for i in (0, 3, 6)]
     for (vid, i), b in got.items():
         assert np.array_equal(decode_gif(b)[0], src[vid][i])
+
+
+def test_gif_wav_golden_bitstreams():
+    """Wire-format pins (same role as the PNG/JPEG goldens in
+    test_codec_synth): the encoders' exact output bytes for fixed tiny
+    inputs.  Catches any silent change to header layout, LZW code
+    emission order, sub-block packaging, or RIFF chunk sizes — a codec
+    'fix' that alters the wire format must consciously update these."""
+    import hashlib
+
+    import numpy as np
+
+    from lshdedup.gif import decode_gif, encode_gif
+    from lshdedup.wav import encode_wav
+
+    px = (np.arange(16, dtype=np.uint8) * 17).reshape(4, 4)
+    g = encode_gif([px, px.T.copy()], delay_cs=4)
+    assert len(g) == 866
+    assert hashlib.sha256(g).hexdigest() == (
+        "235a55cdaaaedd18f87040a607430fb09faa61a57c75c963fb26d7eb507e5aec"
+    )
+    # independent spot-pins, not just the hash: signature, screen size,
+    # trailer, and the two image separators
+    assert g[:6] == b"GIF89a" and g[6:10] == b"\x04\x00\x04\x00"
+    assert g[-1] == 0x3B and g.count(b"\x21\xf9\x04") == 2
+
+    s = (np.arange(8, dtype=np.int64) * 1000 - 3500).astype(np.int16)
+    wv = encode_wav(s, rate=8000)
+    assert len(wv) == 60
+    assert hashlib.sha256(wv).hexdigest() == (
+        "c6c85a295e715f3d2d399406fa45a473d8c09af08c8b0dbcee5f6c225874a531"
+    )
+    assert wv[:4] == b"RIFF" and wv[8:12] == b"WAVE"
+    # byte-rate field = rate * channels * 2 = 16000 little-endian
+    import struct
+
+    assert struct.unpack("<I", wv[28:32])[0] == 16000
+    # decode side of the pin: the golden bytes reproduce the source
+    fs = decode_gif(g)
+    assert np.array_equal(fs[0], px) and np.array_equal(fs[1], px.T)
