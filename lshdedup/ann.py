@@ -559,7 +559,14 @@ def ivf_topk_indexed(
     collect) becomes a static IN-filter on the partition column, and
     only those cell directories are read at all.  Candidate join and
     exact re-rank are identical to ivf_topk; the pair dedup applies when
-    the index was written with corpus_spill > 1 (recorded in meta)."""
+    the index was written with corpus_spill > 1 (recorded in meta).
+
+    The query-side cell assignment runs twice (once for the bounded
+    distinct-cells collect, once inside the join) — one matmul per Arrow
+    batch each time.  For a large query set, persist `queries` upstream;
+    the pruning win (unprobed cell directories never read) dwarfs the
+    repeated assignment at any corpus:query ratio where IVF makes
+    sense."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cent = np.array(
