@@ -574,8 +574,10 @@ def split_mjpeg(data: bytes) -> list[bytes]:
         while True:  # marker segments up to SOS / EOI
             if p + 2 > n or data[p] != 0xFF:
                 raise ValueError(f"MJPEG: expected marker at byte {p}")
-            while data[p + 1] == 0xFF:  # optional fill bytes
+            while p + 2 <= n and data[p + 1] == 0xFF:  # optional fill bytes
                 p += 1
+            if p + 2 > n:
+                raise ValueError("MJPEG: truncated at marker fill bytes")
             marker = data[p + 1]
             if marker == 0xD9:  # EOI before SOS: degenerate empty frame
                 p += 2
