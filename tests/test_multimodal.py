@@ -362,3 +362,23 @@ def test_gif_wav_golden_bitstreams():
     # decode side of the pin: the golden bytes reproduce the source
     fs = decode_gif(g)
     assert np.array_equal(fs[0], px) and np.array_equal(fs[1], px.T)
+
+
+def test_gif_wav_degenerate_shapes():
+    """Codec edges: 1×1/1×N/N×1 GIF frames, zero-sample and one-sample
+    (odd data size) WAV, 3-channel interleave — all lossless."""
+    import numpy as np
+
+    from lshdedup.gif import decode_gif, encode_gif
+    from lshdedup.wav import decode_wav, encode_wav
+
+    for shape in [(1, 1), (1, 7), (7, 1)]:
+        px = (np.arange(shape[0] * shape[1], dtype=np.uint8) * 13).reshape(shape)
+        assert np.array_equal(decode_gif(encode_gif([px]))[0], px)
+    _, s = decode_wav(encode_wav(np.empty((0,), np.int16)))
+    assert s.shape == (0, 1)
+    _, s = decode_wav(encode_wav(np.array([-5], np.int16)))
+    assert s[0, 0] == -5
+    three = np.arange(30, dtype=np.int16).reshape(10, 3)
+    rate, s = decode_wav(encode_wav(three, rate=48000))
+    assert rate == 48000 and np.array_equal(s, three)
