@@ -318,6 +318,253 @@ def run_scaling(n_images: int, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_slice_worker(cpus: int) -> None:
+    """Persistent pipeline worker for run_scaling_interleaved.
+
+    Starts ONE long-lived local[cpus] session, then serves chunk requests
+    from stdin (``lo_id<TAB>hi_id<TAB>corpus_path`` per line), timing the
+    flagship pipeline on each chunk and emitting one JSON line per chunk.
+    Keeping the JVM warm across chunks is the point: the host's ~170 s/GB
+    serialized first-touch faulting (BASELINE.md round-4 size-floor study)
+    is paid ONCE, in the shared warmup chunk, instead of once per leg.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F811 (worker subprocess)
+
+    from lshdedup.config import DedupConfig
+    from lshdedup.pipeline import dedup_pipeline
+    from lshdedup.session import get_spark
+
+    spark = get_spark(
+        app_name=f"lshdedup-slice-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
+        extra={
+            "spark.driver.memory": os.environ.get("LSHDEDUP_DRIVER_MEM", "24g"),
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DedupConfig(
+        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
+        sig_scheme="oph",
+    )
+    print(json.dumps({"ready": True, "cpus": cpus}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        lo_id, hi_id, path = line.split("\t")
+        chunk = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("image_id") >= f"img{int(lo_id):010d}")
+                & (F.col("image_id") < f"img{int(hi_id):010d}")
+            )
+            .repartition(32)
+            .persist()
+        )
+        n = chunk.count()  # materialize the read OUTSIDE the timed section
+        t0 = _time.perf_counter()
+        res = dedup_pipeline(spark, chunk, cfg)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        wall = _time.perf_counter() - t0
+        res.unpersist()
+        chunk.unpersist()
+        spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {"n": n, "n_clusters": n_clusters, "wall_sec": round(wall, 3)}
+            ),
+            flush=True,
+        )
+
+
+def run_scaling_interleaved(
+    n_images: int, lo: int = 2, hi: int = 8, n_slices: int = 8
+) -> dict:
+    """Window-noise-robust N-vs-4N measurement: slice interleaving.
+
+    The sequential pair (run_scaling) divides two walls measured 30-50 min
+    apart on a host whose delivered throughput swings ±40% at ~10-s to
+    ~10-min timescales (BASELINE.md; .probe_watch_r5.log shows >=0.85
+    headroom readings never persisting across even two back-to-back ~10-s
+    probes).  This variant applies the method that settled the round-4
+    regression question (bench.py --ab): INTERLEAVE the two parallelism
+    levels chunk-by-chunk so both sample the same host windows.
+
+    Mechanics: the corpus (block-aligned id ranges, so planted dup groups
+    never straddle a chunk) is served to TWO persistent workers — one
+    local[lo] JVM, one local[hi] JVM, identical plans (fixed 64 shuffle
+    partitions) — strictly alternating within each chunk and alternating
+    leg order across chunks.  Chunk 0 warms both JVMs in the same window
+    and is excluded.  Efficiency = (sum_lo / sum_hi) / (hi / lo) over the
+    warm chunks; per-chunk cluster counts must agree between levels.
+
+    This measures the same contract as the sequential pair — the same job,
+    same input, two parallelism levels, throughput at both — with the
+    host's window drift cancelled by construction rather than by hoping a
+    55-minute quiet window holds.
+    """
+    import hashlib
+    import subprocess
+    import tempfile
+
+    from dataclasses import asdict
+
+    from lshdedup.synth import SYNTH_SCHEMA_VERSION, SynthConfig
+
+    fp = hashlib.sha256(
+        json.dumps(
+            {"cfg": asdict(SynthConfig(n_rows=n_images)),
+             "schema": SYNTH_SCHEMA_VERSION},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"lshdedup_scale_corpus_{n_images}_{fp}.parquet"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        write_synth_corpus(n_images, corpus_path)
+
+    block = SynthConfig(n_rows=n_images).block
+    chunk_rows = (n_images // n_slices // block) * block
+    bounds = [i * chunk_rows for i in range(n_slices)] + [n_images]
+
+    def _hw_probe() -> dict | None:
+        if os.environ.get("LSHDEDUP_SKIP_PROBE"):
+            return None
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "host_probe.py")
+        out = subprocess.run(
+            [sys.executable, probe, str(lo), str(hi)],
+            capture_output=True, text=True,
+        )
+        try:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            return None
+
+    probe_before = _hw_probe()
+    workers = {}
+    try:
+        for cpus in (lo, hi):
+            workers[cpus] = subprocess.Popen(
+                [sys.executable, __file__, "--slice-worker", str(cpus)],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True,
+            )
+        for cpus, w in workers.items():
+            ready = json.loads(w.stdout.readline())
+            if not ready.get("ready"):
+                raise RuntimeError(f"worker {cpus} failed to start")
+
+        def _cpu_counters() -> tuple[float, float]:
+            """(busy_sec, steal_sec) system-wide from /proc/stat.
+
+            Only one leg runs at a time, so the busy delta across a leg is
+            the total CPU that leg consumed (JVM + Python UDF daemons +
+            driver), and the steal delta is the hypervisor's own record of
+            CPU it withheld from this VM during the leg — the two numbers
+            that separate engine scaling (equal CPU-seconds per chunk at
+            both parallelism levels = no parallel overhead) from host
+            throttling (steal + sub-4x delivery).
+            """
+            with open("/proc/stat") as f:
+                v = list(map(int, f.readline().split()[1:9]))
+            tck = os.sysconf("SC_CLK_TCK")
+            busy = (v[0] + v[1] + v[2] + v[5] + v[6]) / tck
+            return busy, v[7] / tck
+
+        def _chunk(w, i: int) -> dict:
+            b0, s0 = _cpu_counters()
+            w.stdin.write(f"{bounds[i]}\t{bounds[i + 1]}\t{corpus_path}\n")
+            w.stdin.flush()
+            out = json.loads(w.stdout.readline())
+            b1, s1 = _cpu_counters()
+            out["cpu_sec"] = round(b1 - b0, 1)
+            out["steal_sec"] = round(s1 - s0, 1)
+            return out
+
+        chunks = []
+        for i in range(n_slices):
+            # ~10-s probe around EVERY leg: each chunk then carries its own
+            # (engine efficiency, host-delivered efficiency) pair, so the
+            # analysis can regress engine-vs-host chunk by chunk instead of
+            # trusting two endpoint probes 50 minutes apart.
+            p0 = _hw_probe()
+            order = (hi, lo) if i % 2 == 0 else (lo, hi)
+            legs = {order[0]: _chunk(workers[order[0]], i)}
+            p_mid = _hw_probe()
+            legs[order[1]] = _chunk(workers[order[1]], i)
+            eff_i = (
+                (legs[lo]["wall_sec"] / legs[hi]["wall_sec"]) / (hi / lo)
+            )
+            rec = {
+                "chunk": i,
+                "rows": legs[lo]["n"],
+                "order": list(order),
+                f"wall_{lo}": legs[lo]["wall_sec"],
+                f"wall_{hi}": legs[hi]["wall_sec"],
+                f"clusters_{lo}": legs[lo]["n_clusters"],
+                f"clusters_{hi}": legs[hi]["n_clusters"],
+                f"cpu_{lo}": legs[lo].get("cpu_sec"),
+                f"cpu_{hi}": legs[hi].get("cpu_sec"),
+                f"steal_{lo}": legs[lo].get("steal_sec"),
+                f"steal_{hi}": legs[hi].get("steal_sec"),
+                "engine_eff": round(eff_i, 3),
+                "hw_eff_start": p0.get("hw_eff") if p0 else None,
+                "hw_eff_mid": p_mid.get("hw_eff") if p_mid else None,
+            }
+            chunks.append(rec)
+            sys.stderr.write(json.dumps(rec) + "\n")
+            sys.stderr.flush()
+    finally:
+        for w in workers.values():
+            if w.stdin:
+                w.stdin.close()
+            w.wait(timeout=120)
+    probe_after = _hw_probe()
+
+    warm = chunks[1:]
+    t_lo = sum(c[f"wall_{lo}"] for c in warm)
+    t_hi = sum(c[f"wall_{hi}"] for c in warm)
+    rows = sum(c["rows"] for c in warm)
+    eff = (t_lo / t_hi) / (hi / lo)
+    cpu_lo = sum(c[f"cpu_{lo}"] or 0 for c in warm)
+    cpu_hi = sum(c[f"cpu_{hi}"] or 0 for c in warm)
+    return {
+        "method": "interleaved-slices",
+        "n_images": n_images,
+        "n_slices": n_slices,
+        "warm_rows": rows,
+        f"local{lo}": {
+            "cpus": lo, "wall_sec": round(t_lo, 3),
+            "images_per_sec": round(rows / t_lo, 2),
+        },
+        f"local{hi}": {
+            "cpus": hi, "wall_sec": round(t_hi, 3),
+            "images_per_sec": round(rows / t_hi, 2),
+        },
+        f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        # engine-side scaling invariant: total CPU-seconds per chunk should
+        # be ~equal at both levels (no parallel overhead); >1.0 means the
+        # hi level burned extra CPU to coordinate, <=~1.05 means wall-clock
+        # scaling is limited only by how much CPU the host DELIVERS
+        "cpu_sec_lo": round(cpu_lo, 1),
+        "cpu_sec_hi": round(cpu_hi, 1),
+        "cpu_overhead_ratio": round(cpu_hi / cpu_lo, 3) if cpu_lo else None,
+        "outputs_identical": all(
+            c[f"clusters_{lo}"] == c[f"clusters_{hi}"] for c in chunks
+        ),
+        "chunks": chunks,
+        "hw_probe_before": probe_before,
+        "hw_probe_after": probe_after,
+    }
+
+
 def run_ab(
     wt_a: str,
     wt_b: str,
@@ -410,6 +657,14 @@ if __name__ == "__main__":
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
         print(json.dumps(run_scaling(n, lo, hi)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--slice-worker":
+        run_slice_worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-interleaved":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 384_000
+        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        slices = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+        print(json.dumps(run_scaling_interleaved(n, lo, hi, slices)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
         if len(sys.argv) < 4:
             sys.exit("usage: bench.py --ab WORKTREE_A WORKTREE_B "
