@@ -122,7 +122,11 @@ def q_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = explode_bands(signed, "doc_id", "sig", DOC_CFG)
     pairs, _ = candidate_pairs(buckets, "doc_id", DOC_CFG)
     # per-DOC distinct shingle arrays, computed once (string arrays so the
-    # integer inter/uni match the oracle exactly, no hash-collision risk)
+    # integer inter/uni match the oracle exactly, no hash-collision risk).
+    # NOTE (r6): a deferred per-pair derivation (shingles computed below
+    # the join, as verify_pairs now does) was measured 3x SLOWER here —
+    # this query has no cheap prefilter and its candidate count exceeds
+    # the doc count, so the per-doc precompute is the right shape.
     sets = signed.select(
         "doc_id",
         distinct_char_shingles_expr(F.col("text"), 5).alias("sh"),

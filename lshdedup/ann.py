@@ -131,7 +131,12 @@ def srp_topk(
     seed: int = 7,
 ) -> DataFrame:
     """LSH-bucketed ANN: SRP signatures → band-bucket equi-join →
-    exact cosine re-rank of candidates only."""
+    exact cosine re-rank of candidates only.
+
+    No fan_out here (contrast ivf_topk): measured on the bench geometry,
+    the extra repartition shuffles cost more than the single-task scan —
+    srp's per-candidate work is one 8-band explode + the re-rank, and the
+    band join itself already redistributes across cores."""
     bits_per_band = n_bits // n_bands
     sig_udf = srp_signature_udf(dim, n_bits, seed)
     qb = (
@@ -329,6 +334,9 @@ def ivf_topk(
     Cost at scale: index storage and candidate volume grow ~linearly in
     corpus_spill, and the (qid, cid) dedup adds one shuffle over the
     candidate set (the spill=1 path keeps the single-shuffle plan)."""
+    from lshdedup.util import fan_out
+
+    queries, corpus = fan_out(queries), fan_out(corpus)
     try:
         cent = train_ivf_centroids(
             corpus, cid, cvec, dim, n_cells, seed=seed, n_rows=n_rows
@@ -474,6 +482,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
     exact verify — the embedding analogue of the MinHash dedup pipeline."""
+    from lshdedup.util import fan_out
+
+    df = fan_out(df)
     bits_per_band = n_bits // n_bands
     sig_udf = srp_signature_udf(dim, n_bits, seed)
     b = (

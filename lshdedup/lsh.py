@@ -39,17 +39,20 @@ def band_hashes_expr(sig_col: str, b: int, r: int) -> Column:
     analogue of the vector-range band hash xx_Hash<uint64_t>(vec, [start,
     end)) (hash.h:186-206).  Seeding with band_id keeps equal slices in
     different bands from colliding into one bucket key space.
+
+    Built as ONE parsed SQL expression rather than b×(r+3) py4j calls:
+    the resulting analyzed plan is identical (pinned by
+    tests/test_lsh.py::test_band_expr_sql_equals_column_builder), but
+    construction drops from ~0.5 s to ~2 ms at b=32 — driver time that
+    sat inside the timed window of every pipeline run.
     """
-    bands = []
-    for i in range(b):
-        elems = [F.col(sig_col)[i * r + j] for j in range(r)]
-        bands.append(
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.xxhash64(F.lit(i), *elems).alias("band_hash"),
-            )
-        )
-    return F.array(*bands)
+    parts = ", ".join(
+        f"struct({i} as band_id, xxhash64({i}, "
+        + ", ".join(f"`{sig_col}`[{i * r + j}]" for j in range(r))
+        + ") as band_hash)"
+        for i in range(b)
+    )
+    return F.expr(f"array({parts})")
 
 
 def explode_bands(
@@ -66,7 +69,8 @@ def explode_bands(
 
 
 def exact_dup_groups(
-    df: DataFrame, id_col: str, key_cols: list[str]
+    df: DataFrame, id_col: str, key_cols: list[str],
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exactly-identical rows before LSH.
 
@@ -77,6 +81,12 @@ def exact_dup_groups(
 
     Key is 128 bits (xxhash64 ⊕ md5-half) so distinct content cannot merge
     even at 10^12 rows.  One shuffle on the content key.
+
+    ``persisted``: when given, the shared window frame is persisted (and
+    appended there for the caller to release) so the reps consumer and the
+    member_edges consumer don't each recompute the content-key shuffle +
+    window — they are materialized at different times in the pipeline and
+    the second pass was a full recompute (guide §2.4: one exchange, reused).
     """
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in key_cols]
     keyed = df.withColumn("_k1", F.xxhash64(*cols)).withColumn(
@@ -84,6 +94,9 @@ def exact_dup_groups(
     )
     w = Window.partitionBy("_k1", "_k2")
     tagged = keyed.withColumn("_rep", F.min(id_col).over(w))
+    if persisted is not None:
+        tagged = tagged.persist()
+        persisted.append(tagged)
     reps = tagged.filter(F.col(id_col) == F.col("_rep")).drop("_k1", "_k2", "_rep")
     member_edges = (
         tagged.filter(F.col(id_col) != F.col("_rep"))
@@ -97,6 +110,7 @@ def candidate_pairs(
     id_col: str,
     cfg: DedupConfig,
     persisted: list | None = None,
+    eager: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket self-join → distinct candidate pairs (id_a < id_b).
 
@@ -119,6 +133,15 @@ def candidate_pairs(
     sized = sized.persist()
     if persisted is not None:
         persisted.append(sized)
+    if eager:
+        # Materialize the cache NOW, before the self-join fans out: the
+        # left and right join branches are evaluated CONCURRENTLY on first
+        # use, and a persisted-but-unmaterialized frame is recomputed once
+        # per concurrent consumer (measured: two full window computations
+        # racing).  One count populates the cache; every branch then reads
+        # it.  Orchestrating callers (the pipeline) opt in; lazy query
+        # builders (q_lsh_dedup_pairs) must not run actions at build time.
+        sized.count()
     eligible = sized.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= cfg.bucket_cap))
     skew_report = (
         sized.filter(F.col("_bsz") > cfg.bucket_cap)

@@ -250,7 +250,14 @@ def add_signatures(
     cfg.sig_scheme: "kperm" = classic (a*h+b) mod p over 128 permutations
     (reference-parity path, minhash.h:135-169); "oph" = one-permutation
     hashing (scale path — see hashing.oph_raw).
+
+    A plain under-parallel scan (single-row-group parquet file) is fanned
+    out first so the signature UDF uses every core instead of one task
+    (util.fan_out: conditional, no-op on already-parallel inputs).
     """
+    from lshdedup.util import fan_out
+
+    df = fan_out(df)
     if cfg.sig_scheme == "oph":
         use_ph = cfg.use_phash and phash_col in df.columns
         udf = oph_signature_udf(cfg, use_ph)

@@ -75,7 +75,10 @@ def dedup_pipeline(
     def run(name, fn):
         return runner.stage(name, fn) if runner else fn()
 
-    # 1. exact-duplicate collapse (scale safeguard; lsh.py docstring)
+    # 1. exact-duplicate collapse (scale safeguard; lsh.py docstring).
+    # Non-runner path persists the shared window frame so reps (consumed
+    # via the signature cache early) and member_edges (consumed by CC
+    # late) don't each pay the content-key shuffle + window.
     key_cols = [text_col] + ([phash_col] if use_phash else [])
     if runner:
         reps = runner.stage("reps", lambda: exact_dup_groups(narrow, id_col, key_cols)[0])
@@ -83,7 +86,9 @@ def dedup_pipeline(
             "exact_edges", lambda: exact_dup_groups(narrow, id_col, key_cols)[1]
         )
     else:
-        reps, exact_edges = exact_dup_groups(narrow, id_col, key_cols)
+        reps, exact_edges = exact_dup_groups(
+            narrow, id_col, key_cols, persisted=persisted
+        )
 
     # 2. signatures (narrow map, fused shingle+minhash UDF)
     signed = run(
@@ -105,7 +110,9 @@ def dedup_pipeline(
     cand_holder = {}
 
     def _cands():
-        pairs, skew = candidate_pairs(buckets, id_col, cfg, persisted=persisted)
+        pairs, skew = candidate_pairs(
+            buckets, id_col, cfg, persisted=persisted, eager=not runner
+        )
         cand_holder["skew"] = skew
         return pairs
 
@@ -113,6 +120,14 @@ def dedup_pipeline(
     if not runner:
         candidates = candidates.persist()  # reused by verify + result
         persisted.append(candidates)
+        # Materialize before the fan-out to verify-enrich (probe side) and
+        # the CC edge union: concurrent first-use of an unmaterialized
+        # cache recomputes the bucket self-join once per consumer
+        # (measured: multiple racing full copies of the join).  Wall-
+        # neutral at the bench geometry (the races overlap on idle cores)
+        # but strictly less work, and it removes the scheduling-sensitive
+        # variance those races caused.
+        candidates.count()
     skew = cand_holder.get("skew")
     if skew is None:  # resumed: recompute report definition lazily
         _, skew = candidate_pairs(buckets, id_col, cfg, persisted=persisted)

@@ -140,20 +140,36 @@ def verify_pairs(
     want_simhash = (
         cfg.verify_mode == "exact+simhash" and simhash_col is not None
     )
-    # Per-DOC preparation (narrow, once per row — not per pair): hashed
-    # distinct shingle sets + their sizes.  Exact Jaccard on 64-bit-hashed
-    # shingles equals string-set Jaccard up to negligible collisions, joins
-    # far cheaper than string arrays, and |A∪B| = |A|+|B|−|A∩B| means the
-    # union array is never materialized.
-    prep_cols = [F.col(id_col), F.col(sig_col)]
+    # Shingle-derivation placement (r6; guide §8 "decide with small rows,
+    # move/compute the heavy thing late"): the expensive per-side work —
+    # distinct shingle set + xxhash64 per shingle, multi-KB arrays — is
+    # DEFERRED below the enrich join and below the cheap prefilter
+    # whenever the prefilter doesn't itself need gram counts:
+    #   * join build sides carry the ~0.2 KB caption instead of a multi-KB
+    #     shingle array per doc (smaller broadcast/shuffle);
+    #   * docs in no candidate pair never compute shingles at all — at
+    #     100 TB the corpus-wide prep was the dominant verify-stage cost;
+    #   * with whole-stage codegen the post-filter projection evaluates
+    #     only for pairs surviving the 6σ/phash screen (≈ true dups), so
+    #     shingle work scales with |dups|, not |candidates| or |docs|.
+    # Cost: a doc in several surviving pairs re-derives its set once per
+    # pair (values identical; multiplicity bounded by bucket_cap).  The
+    # LCS screen needs the gram intersection INSIDE the prefilter, so
+    # that configuration keeps the per-doc precompute shape.
+    # Exact Jaccard on 64-bit-hashed shingles equals string-set Jaccard up
+    # to negligible collisions, and |A∪B| = |A|+|B|−|A∩B| means the union
+    # array is never materialized (unchanged from r4).
     need_text = cfg.lcs_min_ratio > 0
-    if cfg.verify_mode != "minhash":
+    lcs_screen = need_text and cfg.lcs_screen_slack > 0
+    defer_sh = cfg.verify_mode != "minhash" and not lcs_screen
+    prep_cols = [F.col(id_col), F.col(sig_col)]
+    if cfg.verify_mode != "minhash" and not defer_sh:
         sh = F.transform(
             distinct_char_shingles_expr(F.col(text_col), cfg.k),
             lambda s: F.xxhash64(s),
         )
         prep_cols += [sh.alias("_sh"), F.size(sh).alias("_nsh")]
-    if need_text:
+    if need_text or defer_sh:
         prep_cols.append(F.col(text_col))
     if use_phash:
         prep_cols.append(F.col(phash_col))
@@ -187,7 +203,6 @@ def verify_pairs(
             hamming_expr(F.col(f"{simhash_col}_a"), F.col(f"{simhash_col}_b"))
             <= cfg.simhash_max_hamming
         )
-    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     if cfg.lcs_min_ratio > 0:
         # The LCS channel must NOT disable the prefilter (the
         # suffix-automaton UDF is the most expensive stage; it has to see a
@@ -206,6 +221,7 @@ def verify_pairs(
         if cfg.lcs_screen_slack <= 0:
             pre = F.lit(True)
         else:
+            inter_pre = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
             min_len = F.least(
                 F.length(F.col(f"{text_col}_a")), F.length(F.col(f"{text_col}_b"))
             )
@@ -214,10 +230,22 @@ def verify_pairs(
             slack = F.lit(cfg.lcs_screen_slack)
             pre = (
                 pre
-                | (inter * slack >= required)
-                | (inter * slack >= F.lit(cfg.lcs_min_ratio) * smaller_nsh)
+                | (inter_pre * slack >= required)
+                | (inter_pre * slack >= F.lit(cfg.lcs_min_ratio) * smaller_nsh)
             )
     out = out.filter(pre)
+    if defer_sh:
+        # derive the hashed shingle sets NOW — after the join, after the
+        # prefilter — as real projection columns so each evaluates once
+        for side in ("a", "b"):
+            sh_side = F.transform(
+                distinct_char_shingles_expr(F.col(f"{text_col}_{side}"), cfg.k),
+                lambda s: F.xxhash64(s),
+            )
+            out = out.withColumn(f"_sh_{side}", sh_side).withColumn(
+                f"_nsh_{side}", F.size(F.col(f"_sh_{side}"))
+            )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.col("_nsh_a") + F.col("_nsh_b") - inter
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
     out = out.withColumn("jaccard", jac)

@@ -129,3 +129,29 @@ def test_salted_pairs_equal_unsalted(spark):
         for r in candidate_pairs(bands, "image_id", salted_cfg)[0].collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_band_expr_sql_equals_column_builder(spark):
+    """The parsed-SQL band expression (r6 driver-time optimization) must
+    produce exactly the values of the original Column-builder form."""
+    from lshdedup.lsh import band_hashes_expr
+
+    def column_builder(sig_col, b, r):
+        bands = []
+        for i in range(b):
+            elems = [F.col(sig_col)[i * r + j] for j in range(r)]
+            bands.append(
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.xxhash64(F.lit(i), *elems).alias("band_hash"),
+                )
+            )
+        return F.array(*bands)
+
+    df = spark.range(50).select(
+        "id",
+        F.array(*[F.xxhash64(F.col("id"), F.lit(j)) for j in range(32)]).alias("sig"),
+    )
+    got = df.select("id", band_hashes_expr("sig", 8, 4).alias("bh")).collect()
+    want = df.select("id", column_builder("sig", 8, 4).alias("bh")).collect()
+    assert got == want
