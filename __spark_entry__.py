@@ -298,17 +298,34 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 fixture is 0.399872 (margin 1.28e-4, measured), so float
     summation-order differences between Spark and DuckDB (≲1e-12) cannot
     flip any pair's inclusion."""
-    from lshdedup.ann import cosine_expr
+    from lshdedup.ann import cosine_prenorm_expr, norm_expr
 
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # norms hoisted per row (r6): the crossJoin evaluated both vector norms
+    # once per PAIR (O(n²) interpreted folds); per-row precompute is
+    # bit-identical (same expression, same data, same final multiply)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        norm_expr(F.col("v")).alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        norm_expr(F.col("v")).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
     )

