@@ -76,9 +76,16 @@ def q_shingle_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shingle sets (K_shingling weights, k_shingles.h:28-42):
     top-100 (shingle, total weight) corpus-wide."""
     from lshdedup.shingle import explode_shingles
+    from lshdedup.util import fan_out
 
+    # the per-gram explode + map-side partial aggregation is the heavy part
+    # and runs single-threaded on an under-parallel scan: fan out first
+    # (measured 2.9 s -> 0.65 s at sf0.1; no-op on an already-wide scan)
     return (
-        explode_shingles(_docs(spark, sf_dir), "doc_id", "text", 5)
+        explode_shingles(
+            fan_out(_docs(spark, sf_dir).select("doc_id", "text")),
+            "doc_id", "text", 5,
+        )
         .groupBy("shingle")
         .agg(F.sum("weight").alias("total_weight"))
         .orderBy(F.desc("total_weight"), F.asc("shingle"))

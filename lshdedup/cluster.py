@@ -32,9 +32,24 @@ def connected_components(
     Converges in O(log n) rounds for typical dup clusters (small diameter);
     ``max_iter`` bounds pathological chains.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    # Symmetrize with ONE pass over ``edges`` (r6): the old
+    # union(select(u,v), select(v,u)) referenced the edge subtree TWICE, so
+    # an unpersisted upstream (the full verify chain in the pipeline) was
+    # evaluated once per branch inside this checkpoint — measured as a
+    # doubled verify stage.  explode(array(fwd, rev)) emits both directions
+    # from a single evaluation; the row set is identical.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+    )
     sym = sym.localCheckpoint(eager=True)
 
     # Fused first iteration (r6): initialize each vertex with the minimum
