@@ -118,16 +118,15 @@ def dedup_pipeline(
 
     candidates = run("candidates", _cands)
     if not runner:
-        candidates = candidates.persist()  # reused by verify + result
+        # Persisted for the verify probe (timed) and the skew/result
+        # consumers (untimed).  No eager count here: since the CC
+        # symmetrization reads the edge list in ONE pass (cluster.py), the
+        # timed path has a single consumer chain through verify, so the
+        # cache materializes exactly once without a barrier.  (The sized
+        # frame above DOES need its eager materialization — the self-join
+        # consumes it from two concurrent branches.)
+        candidates = candidates.persist()
         persisted.append(candidates)
-        # Materialize before the fan-out to verify-enrich (probe side) and
-        # the CC edge union: concurrent first-use of an unmaterialized
-        # cache recomputes the bucket self-join once per consumer
-        # (measured: multiple racing full copies of the join).  Wall-
-        # neutral at the bench geometry (the races overlap on idle cores)
-        # but strictly less work, and it removes the scheduling-sensitive
-        # variance those races caused.
-        candidates.count()
     skew = cand_holder.get("skew")
     if skew is None:  # resumed: recompute report definition lazily
         _, skew = candidate_pairs(buckets, id_col, cfg, persisted=persisted)
