@@ -160,6 +160,58 @@ def query_profile(sf_dir: str, cpus: int = 32) -> dict:
     return t
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal seconds from /proc/stat — labels every
+    measurement with the window quality it ran in (BASELINE.md: delivered
+    throughput swings ±40% across windows; steal is the kernel's record)."""
+    return int(open("/proc/stat").readline().split()[8]) / 100.0
+
+
+def pipeline_repeat(n_images: int, reps: int, cpus: int) -> dict:
+    """The in-session measurement primitive behind OPTIMIZATION_r06.md's
+    decisions: run the flagship pipeline ``reps`` times in ONE warm JVM,
+    clearing caches between runs, with per-run wall + steal.  Run this for
+    variant A, switch the code (or flag), run again — medians of the warm
+    runs compare variants without paying JVM/window drift between them."""
+    from lshdedup.config import DedupConfig
+    from lshdedup.pipeline import dedup_pipeline
+    from lshdedup.session import get_spark
+    from lshdedup.synth import SynthConfig, synth_corpus
+
+    spark = get_spark(
+        app_name="lshdedup-pipeline-repeat",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_corpus(
+        spark, SynthConfig(n_rows=n_images), partitions=max(cpus * 2, 8)
+    ).persist()
+    corpus.count()
+    cfg = DedupConfig(
+        threshold=0.7, n_perm=128, b=32, r=4, fp_weight=0.1, fn_weight=0.9,
+        shuffle_partitions=max(cpus, 16), sig_scheme="oph",
+    )
+    runs = []
+    for _ in range(reps):
+        s0 = _steal_sec()
+        t0 = time.perf_counter()
+        res = dedup_pipeline(spark, corpus, cfg)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        wall = round(time.perf_counter() - t0, 3)
+        res.unpersist()
+        spark.catalog.clearCache()
+        corpus.persist()
+        corpus.count()
+        runs.append({"wall": wall, "clusters": n_clusters,
+                     "steal": round(_steal_sec() - s0, 1)})
+        print(json.dumps(runs[-1]), file=sys.stderr, flush=True)
+    spark.stop()
+    warm = sorted(r["wall"] for r in runs[1:]) or [runs[0]["wall"]]
+    return {"n_images": n_images, "cpus": cpus, "runs": runs,
+            "median_warm": warm[len(warm) // 2]}
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "--stages"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -169,4 +221,8 @@ if __name__ == "__main__":
     elif mode == "--queries":
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         print(json.dumps(query_profile(sf_dir, cpus)))
+    elif mode == "--pipeline-repeat":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        print(json.dumps(pipeline_repeat(n, reps, cpus)))
     sys.stdout.flush()
